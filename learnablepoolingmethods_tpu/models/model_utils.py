@@ -1,0 +1,63 @@
+"""Frame sampling and pooling helpers (ref: model_utils.py).
+
+All functions are shape-static and jit-safe: sampling produces a fixed
+``num_samples``-length frame axis via gather, never a dynamic shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_random_frames(model_input, num_frames, num_samples: int, rng):
+    """Uniform-with-replacement frame sampling (ref: model_utils.py#SampleRandomFrames).
+
+    frame_index = floor(U[0,1) * num_frames) per sample — identical index
+    distribution to the reference.
+
+    Args:
+      model_input: [B, F, D] frame features.
+      num_frames: [B] valid-frame counts (int).
+      num_samples: static sample count (--iterations).
+      rng: PRNG key.
+    Returns: [B, num_samples, D]
+    """
+    batch_size = model_input.shape[0]
+    u = jax.random.uniform(rng, (batch_size, num_samples), dtype=jnp.float32)
+    nf = jnp.asarray(num_frames, jnp.float32).reshape(batch_size, 1)
+    frame_index = (u * nf).astype(jnp.int32)
+    # guard: num_frames may legally equal the padded length; keep in-bounds.
+    frame_index = jnp.minimum(frame_index, model_input.shape[1] - 1)
+    return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
+
+
+def sample_random_sequence(model_input, num_frames, num_samples: int, rng):
+    """Random contiguous window (ref: model_utils.py#SampleRandomSequence)."""
+    batch_size = model_input.shape[0]
+    offset = jnp.arange(num_samples, dtype=jnp.int32)[None, :]
+    nf = jnp.asarray(num_frames, jnp.int32).reshape(batch_size, 1)
+    max_start = jnp.maximum(nf - num_samples, 0)
+    u = jax.random.uniform(rng, (batch_size, 1), dtype=jnp.float32)
+    start = (u * (max_start.astype(jnp.float32) + 1.0)).astype(jnp.int32)
+    frame_index = jnp.minimum(start + offset, nf - 1)
+    frame_index = jnp.clip(frame_index, 0, model_input.shape[1] - 1)
+    return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
+
+
+def frame_pooling(frames, method: str):
+    """Pool over the frame axis (ref: model_utils.py#FramePooling).
+
+    frames: [B, F, D]; method in {"average", "max"}.
+    """
+    if method == "average":
+        return jnp.mean(frames, axis=1)
+    if method == "max":
+        return jnp.max(frames, axis=1)
+    raise ValueError(f"Unrecognized pooling method: {method}")
+
+
+def frame_mask(num_frames, max_frames: int, dtype=jnp.float32):
+    """[B, F] validity mask from per-video frame counts."""
+    positions = jnp.arange(max_frames)[None, :]
+    return (positions < jnp.asarray(num_frames).reshape(-1, 1)).astype(dtype)

@@ -1,0 +1,321 @@
+"""Learnable pooling module library (L4 — the repo's scientific core).
+
+TPU-first reimplementations of the LOUPE-family aggregation blocks
+(ref: modules.py#BaseModule + video_pooling_modules.py — NetVLAD / NetRVLAD /
+NetFV / SoftDBoW; math documented in SURVEY.md §3.5).  Differences from the
+reference are architectural, not semantic:
+
+- Modules take the natural ``[B, F, D]`` frame tensor (the reference flattens
+  to ``[B·F, D]`` and back); XLA sees identical contractions but the batched
+  layout maps directly onto MXU-tiled ``dot_general``s.
+- All matmuls carry ``preferred_element_type=float32`` so bf16 inputs
+  accumulate in fp32 on the MXU.
+- The assignment softmax + residual aggregation also exist as a fused Pallas
+  kernel (``ops/netvlad_pallas.py``) used on the inference hot path; these
+  flax modules are the autodiff-friendly reference path and the parity
+  oracle for that kernel.
+
+Every module returns a flat per-video descriptor:
+  NetVLAD/NetRVLAD: [B, D·K]   NetFV: [B, 2·D·K]   SoftDBoW: [B, K]
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+
+
+def _normal_init(stddev):
+    return nn.initializers.normal(stddev=stddev)
+
+
+# TF slim.batch_norm defaults (decay=0.999, epsilon=0.001) — kept for parity.
+BN_MOMENTUM = 0.999
+BN_EPSILON = 1e-3
+
+
+class BaseModule(nn.Module):
+    """Pooling-module contract (ref: modules.py#BaseModule.forward)."""
+
+    def __call__(self, frames, training: bool = False):
+        raise NotImplementedError()
+
+
+class NetVLAD(BaseModule):
+    """NetVLAD aggregation (ref: video_pooling_modules.py#NetVLAD.forward).
+
+    A = softmax(BN(X · C))                [B, F, K] soft assignment
+    a_sum = Σ_F A                         [B, 1, K]
+    vlad = Aᵀ·X − a_sum ⊙ C₂              [B, D, K] residual aggregation
+    intra-ℓ2 over D, flatten, global ℓ2   [B, D·K]
+    """
+
+    feature_size: int
+    max_frames: int
+    cluster_size: int
+    add_batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, training: bool = False):
+        d, k = self.feature_size, self.cluster_size
+        x = frames.astype(self.dtype)  # [B, F, D]
+
+        cluster_weights = self.param(
+            "cluster_weights", _normal_init(1.0 / jnp.sqrt(d)), (d, k), self.param_dtype
+        )
+        activation = jnp.einsum(
+            "bfd,dk->bfk", x, cluster_weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.add_batch_norm:
+            activation = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="cluster_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(activation)
+        else:
+            cluster_biases = self.param(
+                "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
+            )
+            activation = activation + cluster_biases
+        activation = nn.softmax(activation, axis=-1)  # [B, F, K]
+
+        a_sum = jnp.sum(activation, axis=1, keepdims=True)  # [B, 1, K]
+        cluster_weights2 = self.param(
+            "cluster_weights2", _normal_init(1.0 / jnp.sqrt(d)), (1, d, k), self.param_dtype
+        )
+        a = a_sum * cluster_weights2.astype(activation.dtype)  # [B, D, K]
+
+        vlad = jnp.einsum(
+            "bfk,bfd->bdk", activation, x, preferred_element_type=jnp.float32
+        )  # [B, D, K]
+        vlad = vlad - a
+        vlad = l2_normalize(vlad, axis=1)  # intra-norm over D per cluster
+        vlad = vlad.reshape(-1, d * k)     # row-major [B, D·K]: index d·K + k
+        vlad = l2_normalize(vlad, axis=1)
+        return vlad.astype(self.dtype)
+
+
+class NetRVLAD(BaseModule):
+    """Residual-less NetVLAD (ref: video_pooling_modules.py#NetRVLAD) —
+    identical to NetVLAD but skips the learned-center subtraction."""
+
+    feature_size: int
+    max_frames: int
+    cluster_size: int
+    add_batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, training: bool = False):
+        d, k = self.feature_size, self.cluster_size
+        x = frames.astype(self.dtype)
+
+        cluster_weights = self.param(
+            "cluster_weights", _normal_init(1.0 / jnp.sqrt(d)), (d, k), self.param_dtype
+        )
+        activation = jnp.einsum(
+            "bfd,dk->bfk", x, cluster_weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.add_batch_norm:
+            activation = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="cluster_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(activation)
+        else:
+            cluster_biases = self.param(
+                "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
+            )
+            activation = activation + cluster_biases
+        activation = nn.softmax(activation, axis=-1)
+
+        vlad = jnp.einsum(
+            "bfk,bfd->bdk", activation, x, preferred_element_type=jnp.float32
+        )
+        vlad = l2_normalize(vlad, axis=1)
+        vlad = vlad.reshape(-1, d * k)
+        vlad = l2_normalize(vlad, axis=1)
+        return vlad.astype(self.dtype)
+
+
+class NetFV(BaseModule):
+    """Net Fisher Vector (ref: video_pooling_modules.py#NetFV.forward).
+
+    First-order (mean residual / σ) and second-order (variance) statistics per
+    cluster, each intra- and globally ℓ2-normalized, concatenated [B, 2·D·K].
+    """
+
+    feature_size: int
+    max_frames: int
+    cluster_size: int
+    add_batch_norm: bool = True
+    couple_weights: bool = False
+    coupling_factor: float = 0.01
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, training: bool = False):
+        d, k = self.feature_size, self.cluster_size
+        x = frames.astype(self.dtype)
+
+        cluster_weights = self.param(
+            "cluster_weights", _normal_init(1.0 / jnp.sqrt(d)), (d, k), self.param_dtype
+        )
+        covar_weights_raw = self.param(
+            "covar_weights",
+            nn.initializers.normal(stddev=1.0 / jnp.sqrt(d)),
+            (d, k),
+            self.param_dtype,
+        )
+        if self.couple_weights:
+            covar = self.coupling_factor * cluster_weights
+        else:
+            covar = covar_weights_raw
+        # reference squares then adds a variance floor
+        covar = jnp.square(covar).astype(jnp.float32) + 1e-6
+
+        activation = jnp.einsum(
+            "bfd,dk->bfk", x, cluster_weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.add_batch_norm:
+            activation = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="cluster_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(activation)
+        else:
+            cluster_biases = self.param(
+                "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
+            )
+            activation = activation + cluster_biases
+        activation = nn.softmax(activation, axis=-1)  # [B, F, K]
+
+        a_sum = jnp.sum(activation, axis=1, keepdims=True)  # [B, 1, K]
+        cluster_weights2 = self.param(
+            "cluster_weights2", _normal_init(1.0 / jnp.sqrt(d)), (1, d, k), self.param_dtype
+        )
+        cw2 = cluster_weights2.astype(jnp.float32)
+        a = a_sum * cw2  # [B, D, K]
+
+        fv1 = jnp.einsum(
+            "bfk,bfd->bdk", activation, x, preferred_element_type=jnp.float32
+        )  # Σ_f a_fk x_fd
+
+        # second-order: Σ_f a_fk x²_fd  − 2 c ⊙ fv1 + c² ⊙ a_sum  all over σ²
+        fv2 = jnp.einsum(
+            "bfk,bfd->bdk", activation, jnp.square(x), preferred_element_type=jnp.float32
+        )
+        a2 = a_sum * jnp.square(cw2)
+        b2 = fv1 * cw2
+        fv2 = a2 + fv2 - 2.0 * b2
+        fv2 = fv2 / jnp.square(covar)
+        fv2 = fv2 - a_sum
+        fv2 = l2_normalize(fv2, axis=1)
+        fv2 = fv2.reshape(-1, d * k)
+        fv2 = l2_normalize(fv2, axis=1)
+
+        fv1 = fv1 - a
+        fv1 = fv1 / covar
+        fv1 = l2_normalize(fv1, axis=1)
+        fv1 = fv1.reshape(-1, d * k)
+        fv1 = l2_normalize(fv1, axis=1)
+
+        return jnp.concatenate([fv1, fv2], axis=1).astype(self.dtype)
+
+
+class SoftDBoW(BaseModule):
+    """Soft bag-of-words histogram (ref: video_pooling_modules.py#SoftDBoW):
+    ℓ2-normalized column-sum of the soft-assignment matrix → [B, K]."""
+
+    feature_size: int
+    max_frames: int
+    cluster_size: int
+    add_batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, training: bool = False):
+        d, k = self.feature_size, self.cluster_size
+        x = frames.astype(self.dtype)
+        cluster_weights = self.param(
+            "cluster_weights", _normal_init(1.0 / jnp.sqrt(d)), (d, k), self.param_dtype
+        )
+        activation = jnp.einsum(
+            "bfd,dk->bfk", x, cluster_weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.add_batch_norm:
+            activation = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="cluster_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(activation)
+        else:
+            cluster_biases = self.param(
+                "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
+            )
+            activation = activation + cluster_biases
+        activation = nn.softmax(activation, axis=-1)
+        bow = jnp.sum(activation, axis=1)  # [B, K]
+        bow = l2_normalize(bow, axis=1)
+        return bow.astype(self.dtype)
+
+
+class ContextGating(nn.Module):
+    """Context gating x ⊙ σ(Wx (+b | BN)) (ref: NetVLADModelLF gating block;
+    Miech et al. 2017).  The fused-GLU Pallas/XLA path lives in ops/gating.py;
+    this flax module is the training/parity path."""
+
+    add_batch_norm: bool = True
+    remove_diag: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        dim = x.shape[-1]
+        gating_weights = self.param(
+            "gating_weights", _normal_init(1.0 / jnp.sqrt(dim)), (dim, dim), self.param_dtype
+        )
+        w = gating_weights.astype(self.dtype)
+        if self.remove_diag:
+            w = w - jnp.diag(jnp.diag(w))
+        gates = jnp.matmul(x.astype(self.dtype), w, preferred_element_type=jnp.float32)
+        if self.add_batch_norm:
+            gates = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="gating_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(gates)
+        else:
+            gating_biases = self.param(
+                "gating_biases", _normal_init(1.0 / jnp.sqrt(dim)), (dim,), self.param_dtype
+            )
+            gates = gates + gating_biases
+        gates = nn.sigmoid(gates)
+        return (x * gates.astype(x.dtype)).astype(self.dtype)

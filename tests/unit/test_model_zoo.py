@@ -1,0 +1,72 @@
+"""Every registered model: init/apply in train+eval mode, valid prediction dict."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from learnablepoolingmethods_tpu.config import ModelConfig
+from learnablepoolingmethods_tpu.models import create_model, find_class_by_name, list_models
+
+TINY = ModelConfig(
+    vocab_size=20, iterations=6, dbof_cluster_size=32, dbof_hidden_size=16,
+    netvlad_cluster_size=8, netvlad_hidden_size=16, fv_cluster_size=4,
+    fv_hidden_size=16, dbow_cluster_size=16, rvlad_cluster_size=8,
+    lstm_cells=12, lstm_layers=2, gru_cells=12, gru_layers=2,
+    attention_heads=2, attention_hidden_size=16, transformer_layers=1,
+    transformer_ff_size=32, attention_cluster_size=4,
+)
+VIDEO_MODELS = {"LogisticModel", "MoeModel"}
+
+
+@pytest.mark.parametrize("name", list_models())
+def test_model_contract(name, rng):
+    B, F, D = 3, 10, 48
+    m = create_model(name, TINY)
+    key = jax.random.key(0)
+    if name in VIDEO_MODELS:
+        inp = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        kwargs = {}
+    else:
+        inp = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        kwargs = {"num_frames": jnp.asarray([10, 4, 7])}
+
+    variables = m.init({"params": key, "sampling": key, "dropout": key},
+                       inp, training=True, **kwargs)
+    out, _ = m.apply(variables, inp, training=True, **kwargs,
+                     rngs={"sampling": key, "dropout": key}, mutable=["batch_stats"])
+    p = out["predictions"]
+    assert p.shape == (B, TINY.vocab_size)
+    assert np.all(np.isfinite(np.asarray(p)))
+    assert float(jnp.min(p)) >= 0.0 and float(jnp.max(p)) <= 1.0
+
+    # eval mode: deterministic, no mutable state
+    out_eval = m.apply(variables, inp, training=False, **kwargs)
+    out_eval2 = m.apply(variables, inp, training=False, **kwargs)
+    np.testing.assert_array_equal(
+        np.asarray(out_eval["predictions"]), np.asarray(out_eval2["predictions"])
+    )
+
+
+def test_unknown_model_name_raises():
+    with pytest.raises(ValueError, match="Unknown model"):
+        find_class_by_name("NoSuchModel")
+
+
+def test_models_are_jittable(rng):
+    """jit-compile a frame model forward; assert no retrace on second call."""
+    m = create_model("NetVLADModelLF", TINY)
+    B, F, D = 2, 8, 48
+    inp = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+    nf = jnp.asarray([8, 3])
+    key = jax.random.key(0)
+    variables = m.init({"params": key, "sampling": key}, inp, num_frames=nf)
+
+    @jax.jit
+    def fwd(v, x, n):
+        return m.apply(v, x, num_frames=n, training=False)["predictions"]
+
+    p1 = fwd(variables, inp, nf)
+    p2 = fwd(variables, inp + 0.1, nf)
+    assert fwd._cache_size() == 1
+    assert p1.shape == p2.shape == (B, TINY.vocab_size)
