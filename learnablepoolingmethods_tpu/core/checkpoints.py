@@ -1,0 +1,87 @@
+"""Checkpoint / resume (ref: tf.train.Supervisor + Saver(max_to_keep=0)).
+
+orbax-checkpoint provides the same contract (SURVEY.md §5.4): step-based
+saves into ``train_dir``, keep-all by default (reference ``max_to_keep=0``),
+auto-restore-latest on startup, and the eval/inference processes polling
+``latest_step()`` exactly like ``tf.train.latest_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper saving {params, batch_stats, opt_state, step}."""
+
+    def __init__(self, train_dir: str, keep: Optional[int] = None):
+        # keep=None → keep all (reference max_to_keep=0 semantics)
+        self._dir = os.path.abspath(os.path.join(train_dir, "checkpoints"))
+        os.makedirs(self._dir, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    @property
+    def directory(self) -> str:
+        return self._dir
+
+    def save(self, step: int, tree: Any) -> None:
+        self._mngr.save(step, args=ocp.args.StandardSave(tree))
+        self._mngr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore_latest(self, abstract_tree: Any = None) -> Optional[Any]:
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        if abstract_tree is not None:
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(abstract_tree)
+            )
+        return self._mngr.restore(step)
+
+    def restore(self, step: int, abstract_tree: Any = None) -> Any:
+        if abstract_tree is not None:
+            return self._mngr.restore(
+                step, args=ocp.args.StandardRestore(abstract_tree)
+            )
+        return self._mngr.restore(step)
+
+    def close(self):
+        self._mngr.close()
+
+
+def state_to_tree(state) -> dict:
+    """TrainState → plain checkpointable pytree."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def tree_to_state(tree: dict, tx):
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+
+    return TrainState(
+        step=tree["step"],
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        tx=tx,
+    )
+
+
+def abstract_like(tree) -> Any:
+    return jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)

@@ -1,0 +1,189 @@
+"""jit'd train / eval / predict steps (ref: train.py#build_graph + eval.py).
+
+One fused XLA program per step: on-device uint8 dequantize → ℓ2-normalize →
+model forward (→ backward) → per-leaf grad clip → optimizer update.  Under a
+data mesh, inputs arrive batch-sharded and parameters replicated; XLA inserts
+the gradient all-reduce over ICI (SURVEY.md §2.4) — there is no explicit
+pmap/psum code to maintain.
+
+Reference parity notes:
+- input stage: ``tf.nn.l2_normalize(model_input_raw, last_dim)``
+  (ref: train.py#build_graph) reproduced after on-device dequantize.
+- regularization: final_loss = label_loss + penalty · reg_loss where
+  reg_loss = Σ ½‖W‖² · l2_penalty over kernel-like params (the reference's
+  slim l2_regularizer(1e-8) collection, applied globally here) plus any
+  model-returned "regularization_loss".
+- losses are weighted-averaged with the batch padding mask; on full batches
+  this is exactly the reference's reduce_mean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from learnablepoolingmethods_tpu.config import ModelConfig, TrainingConfig
+from learnablepoolingmethods_tpu.core.train_state import TrainState
+from learnablepoolingmethods_tpu.losses import BaseLoss
+from learnablepoolingmethods_tpu.ops import metrics_ops
+from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+from learnablepoolingmethods_tpu.utils.quantization import dequantize
+
+
+def preprocess_input(features: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """Device-side input stage: (uint8 → dequantize) → ℓ2-normalize last dim."""
+    if features.dtype == jnp.uint8:
+        x = dequantize(features, dtype=dtype)
+    else:
+        x = features.astype(dtype)
+    return l2_normalize(x, axis=-1)
+
+
+def regularization_loss(params, l2_penalty: float) -> jnp.ndarray:
+    """Global slim-style L2: l2_penalty · ½·Σ‖w‖² over matrix/kernel params."""
+    if l2_penalty <= 0:
+        return jnp.zeros((), jnp.float32)
+    sq = 0.0
+    for p in jax.tree.leaves(params):
+        if p.ndim >= 2:  # kernels/cluster matrices; skip biases & BN scales
+            sq = sq + jnp.sum(jnp.square(p.astype(jnp.float32)))
+    return l2_penalty * 0.5 * sq
+
+
+def weighted_mean(per_example: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    w = weights.astype(jnp.float32)
+    return jnp.sum(per_example.astype(jnp.float32) * w) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
+
+
+def make_train_step(
+    model,
+    loss_obj: BaseLoss,
+    tcfg: TrainingConfig,
+    mcfg: ModelConfig,
+    frame_features: bool,
+) -> Callable:
+    """Build the fused train step: (state, batch, rng) → (state, metrics)."""
+    compute_dtype = jnp.dtype(mcfg.compute_dtype)
+
+    def train_step(state: TrainState, batch, rng):
+        x = preprocess_input(batch["features"], compute_dtype)
+        num_frames = batch.get("num_frames") if frame_features else None
+        weights = batch.get("weights")
+        if weights is None:
+            weights = jnp.ones((x.shape[0],), jnp.float32)
+        step_rng = jax.random.fold_in(rng, state.step)
+        sampling_rng, dropout_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            kwargs = {"num_frames": num_frames} if num_frames is not None else {}
+            out, mutated = model.apply(
+                variables,
+                x,
+                training=True,
+                rngs={"sampling": sampling_rng, "dropout": dropout_rng},
+                mutable=["batch_stats"],
+                **kwargs,
+            )
+            predictions = out["predictions"]
+            per_ex = loss_obj.calculate_per_example_loss(
+                predictions, batch["labels"].astype(jnp.float32)
+            )
+            label_loss = weighted_mean(per_ex, weights)
+            reg = regularization_loss(params, mcfg.l2_penalty)
+            reg = reg + out.get("regularization_loss", 0.0)
+            total = label_loss + tcfg.regularization_penalty * reg
+            return total, (label_loss, reg, predictions, mutated["batch_stats"])
+
+        (total, (label_loss, reg, predictions, new_bs)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {
+            "loss": total,
+            "label_loss": label_loss,
+            "reg_loss": reg,
+            "predictions": predictions,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    model,
+    loss_obj: BaseLoss,
+    mcfg: ModelConfig,
+    frame_features: bool,
+    top_k: int = 20,
+) -> Callable:
+    """Build the eval step: (params, batch_stats, batch) → metrics partials.
+
+    Returns predictions (for the reference-parity host accumulator) AND the
+    on-device partials (fast path) from one fused program.
+    """
+    compute_dtype = jnp.dtype(mcfg.compute_dtype)
+
+    def eval_step(params, batch_stats, batch):
+        x = preprocess_input(batch["features"], compute_dtype)
+        num_frames = batch.get("num_frames") if frame_features else None
+        weights = batch.get("weights")
+        if weights is None:
+            weights = jnp.ones((x.shape[0],), jnp.float32)
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = {"num_frames": num_frames} if num_frames is not None else {}
+        out = model.apply(variables, x, training=False, **kwargs)
+        predictions = out["predictions"]
+        labels = batch["labels"].astype(jnp.float32)
+        per_ex = loss_obj.calculate_per_example_loss(predictions, labels)
+        loss = weighted_mean(per_ex, weights)
+        partials = metrics_ops.batch_topk_partials(
+            predictions, labels, weights, top_k=top_k
+        )
+        return {"predictions": predictions, "loss": loss, "partials": partials}
+
+    return eval_step
+
+
+def make_predict_step(model, mcfg: ModelConfig, frame_features: bool, top_k: int = 20):
+    """Inference step (ref: inference.py#inference hot loop): forward +
+    on-device top-k → (values [B,k], class indices [B,k])."""
+    compute_dtype = jnp.dtype(mcfg.compute_dtype)
+
+    def predict_step(params, batch_stats, features, num_frames=None):
+        x = preprocess_input(features, compute_dtype)
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = (
+            {"num_frames": num_frames}
+            if (frame_features and num_frames is not None)
+            else {}
+        )
+        out = model.apply(variables, x, training=False, **kwargs)
+        predictions = out["predictions"].astype(jnp.float32)
+        values, indices = jax.lax.top_k(predictions, min(top_k, predictions.shape[-1]))
+        return values, indices
+
+    return predict_step
+
+
+def init_model_variables(model, example_batch, frame_features: bool, seed: int = 0):
+    """Initialize params/batch_stats from one example batch (host or device)."""
+    x = preprocess_input(jnp.asarray(example_batch["features"]))
+    kwargs = {}
+    if frame_features and "num_frames" in example_batch:
+        kwargs["num_frames"] = jnp.asarray(example_batch["num_frames"])
+    key = jax.random.key(seed)
+    variables = model.init(
+        {"params": key, "sampling": key, "dropout": key},
+        x,
+        training=True,
+        **kwargs,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return params, batch_stats

@@ -1,0 +1,162 @@
+"""Eval entrypoint (ref: eval.py#main / #evaluation_loop).
+
+Restores the latest checkpoint from ``--train_dir``, streams the validation
+records once, and reports epoch GAP / Hit@1 / PERR / loss.  Two paths:
+
+- default: reference-parity accumulator (host ``EvaluationMetrics``, exact
+  heap/tie-break semantics, includes per-class APs);
+- ``--fast_eval``: on-device partials (top-k, Hit@1, PERR inside jit;
+  SURVEY.md §5.5) + one vectorized host sort per epoch.
+
+``--run_once`` evaluates once; otherwise polls for new checkpoints like the
+reference's evaluation loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+from absl import app, flags, logging
+
+from learnablepoolingmethods_tpu import flags as lpm_flags
+from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import step as step_lib
+from learnablepoolingmethods_tpu.data import pipeline
+from learnablepoolingmethods_tpu.metrics import eval_util
+from learnablepoolingmethods_tpu.models import create_model
+from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+FLAGS = flags.FLAGS
+
+
+def define_flags():
+    flags.DEFINE_string("eval_data_pattern", "", "File glob for eval TFRecords.")
+    flags.DEFINE_string("train_dir", "/tmp/yt8m_model/", "Checkpoint directory.")
+    flags.DEFINE_bool("run_once", False, "Evaluate once instead of polling.")
+    flags.DEFINE_integer("top_k", 20, "How many predictions to keep per video.")
+    flags.DEFINE_bool(
+        "fast_eval", False, "Use on-device metric partials (no per-class APs)."
+    )
+    flags.DEFINE_integer(
+        "poll_interval_secs", 30, "Seconds between checkpoint polls."
+    )
+    lpm_flags.define_data_flags()
+    lpm_flags.define_model_flags()
+    lpm_flags.define_training_flags()
+
+
+def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
+    mesh = mesh_lib.create_mesh()
+    n_dev = np.prod(mesh.devices.shape)
+    repl = mesh_lib.replicated_sharding(mesh)
+    params = jax.device_put(tree["params"], repl)
+    batch_stats = jax.device_put(tree["batch_stats"], repl)
+
+    eval_step = jax.jit(
+        step_lib.make_eval_step(
+            model, loss_obj, mcfg, fcfg.frame_features, top_k=FLAGS.top_k
+        )
+    )
+
+    use_fast = FLAGS.fast_eval
+    if use_fast:
+        sgap = eval_util.StreamingGAP()
+        hit_sum = perr_sum = loss_sum = w_sum = 0.0
+    else:
+        em = eval_util.EvaluationMetrics(mcfg.vocab_size, FLAGS.top_k)
+
+    examples = 0
+    t0 = time.time()
+    for batch in pipeline.batch_iterator(
+        reader, FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
+    ):
+        batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+        device_batch = {
+            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+            for k, v in batch.items()
+            if k != "video_id"
+        }
+        out = eval_step(params, batch_stats, device_batch)
+        w = np.asarray(batch["weights"])
+        real = int(w.sum())
+        examples += real
+        if use_fast:
+            p = out["partials"]
+            sgap.accumulate(
+                np.asarray(p.topk_scores)[w > 0],
+                np.asarray(p.topk_labels)[w > 0],
+                float(p.num_positives),
+            )
+            hit_sum += float(p.hit_at_one_sum)
+            perr_sum += float(p.perr_sum)
+            loss_sum += float(out["loss"]) * real
+            w_sum += real
+        else:
+            preds = np.asarray(out["predictions"])[w > 0]
+            labels = np.asarray(batch["labels"])[w > 0]
+            em.accumulate(preds, labels, float(out["loss"]))
+
+    dt = time.time() - t0
+    if use_fast:
+        info = {
+            "avg_hit_at_one": hit_sum / max(w_sum, 1),
+            "avg_perr": perr_sum / max(w_sum, 1),
+            "avg_loss": loss_sum / max(w_sum, 1),
+            "gap": sgap.get(),
+            "aps": None,
+        }
+    else:
+        info = em.get()
+    logging.info(
+        "epoch/eval number %d | Avg_Hit@1: %.5f | Avg_PERR: %.5f | MAP: %s | "
+        "GAP: %.5f | Avg_Loss: %.5f | %d examples in %.1fs (%.1f ex/s)",
+        step_num,
+        info["avg_hit_at_one"],
+        info["avg_perr"],
+        "%.5f" % float(np.mean([a for a in info["aps"]])) if info["aps"] else "n/a",
+        info["gap"],
+        info["avg_loss"],
+        examples,
+        dt,
+        examples / max(dt, 1e-9),
+    )
+    return info
+
+
+def evaluation_loop():
+    fcfg = lpm_flags.feature_config_from_flags()
+    mcfg = lpm_flags.model_config_from_flags()
+    reader = lpm_flags.make_reader(fcfg, mcfg.vocab_size)
+    model = create_model(FLAGS.model, mcfg)
+    loss_obj = lpm_flags.get_loss_by_name(FLAGS.label_loss)
+
+    mngr = ckpt_lib.CheckpointManager(FLAGS.train_dir)
+    last_step = None
+    while True:
+        step_num = mngr.latest_step()
+        if step_num is None:
+            logging.info("No checkpoint yet in %s", FLAGS.train_dir)
+        elif step_num != last_step:
+            tree = mngr.restore(step_num)
+            info = evaluate_checkpoint(
+                step_num, tree, model, loss_obj, reader, fcfg, mcfg
+            )
+            last_step = step_num
+            if FLAGS.run_once:
+                return info
+        if FLAGS.run_once:
+            return None
+        time.sleep(FLAGS.poll_interval_secs)
+
+
+def main(unused_argv):
+    logging.set_verbosity(logging.INFO)
+    evaluation_loop()
+
+
+define_flags()
+
+if __name__ == "__main__":
+    app.run(main)

@@ -1,0 +1,178 @@
+"""Model export / serving artifact (ref: export_model.py#ModelExporter).
+
+The reference periodically writes a TF SavedModel whose serving signature
+maps serialized ``tf.Example`` bytes → (class_indexes, predictions).  The
+TPU-native artifact is framework-neutral and self-contained:
+
+    export_dir/
+      model_config.json     # model class name + full ModelConfig/FeatureConfig
+      params.msgpack        # flax-serialized parameters
+      batch_stats.msgpack   # BN moving statistics
+      stablehlo.bin         # (optional) jax.export'd forward for this platform
+
+``load_exported_model`` rebuilds the model + a ``serve(serialized_records)``
+callable with the same contract as the reference signature: it takes raw
+TFRecord payload bytes (tf.Example / tf.SequenceExample), runs the TF-free
+parser, and returns (class_indexes [B, k], predictions [B, k]).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, List, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig
+from learnablepoolingmethods_tpu.core import step as step_lib
+from learnablepoolingmethods_tpu.models import create_model
+
+_CONFIG_FILE = "model_config.json"
+_PARAMS_FILE = "params.msgpack"
+_STATS_FILE = "batch_stats.msgpack"
+_HLO_FILE = "stablehlo.bin"
+
+
+def export_model(
+    export_dir: str,
+    model_name: str,
+    mcfg: ModelConfig,
+    fcfg: FeatureConfig,
+    params,
+    batch_stats,
+    top_k: int = 20,
+    with_stablehlo: bool = False,
+) -> str:
+    os.makedirs(export_dir, exist_ok=True)
+    meta = {
+        "model": model_name,
+        "top_k": top_k,
+        "model_config": dataclasses.asdict(mcfg),
+        "feature_config": dataclasses.asdict(fcfg),
+        "framework": "learnablepoolingmethods_tpu",
+    }
+    with open(os.path.join(export_dir, _CONFIG_FILE), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(export_dir, _PARAMS_FILE), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    with open(os.path.join(export_dir, _STATS_FILE), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(batch_stats)))
+
+    if with_stablehlo:
+        try:
+            from jax import export as jax_export
+
+            model = create_model(model_name, mcfg)
+            predict = step_lib.make_predict_step(
+                model, mcfg, fcfg.frame_features, top_k=top_k
+            )
+            if fcfg.frame_features:
+                feat_shape = (1, fcfg.max_frames, fcfg.total_size)
+                args = (
+                    params,
+                    batch_stats,
+                    jax.ShapeDtypeStruct(feat_shape, np.uint8),
+                    jax.ShapeDtypeStruct((1,), np.int32),
+                )
+            else:
+                feat_shape = (1, fcfg.total_size)
+                args = (
+                    params,
+                    batch_stats,
+                    jax.ShapeDtypeStruct(feat_shape, np.float32),
+                )
+            exported = jax_export.export(jax.jit(predict))(*args)
+            with open(os.path.join(export_dir, _HLO_FILE), "wb") as f:
+                f.write(exported.serialize())
+        except Exception as e:  # noqa: BLE001 — export is best-effort extra
+            with open(os.path.join(export_dir, "stablehlo_error.txt"), "w") as f:
+                f.write(repr(e))
+    return export_dir
+
+
+def _configs_from_meta(meta: dict) -> Tuple[ModelConfig, FeatureConfig]:
+    mc = dict(meta["model_config"])
+    fc = dict(meta["feature_config"])
+    fc["feature_names"] = tuple(fc["feature_names"])
+    fc["feature_sizes"] = tuple(fc["feature_sizes"])
+    return ModelConfig(**mc), FeatureConfig(**fc)
+
+
+def load_exported_model(export_dir: str):
+    """Rebuild (model, params, batch_stats, mcfg, fcfg, serve_fn)."""
+    with open(os.path.join(export_dir, _CONFIG_FILE)) as f:
+        meta = json.load(f)
+    mcfg, fcfg = _configs_from_meta(meta)
+    model = create_model(meta["model"], mcfg)
+
+    # Build a template pytree by re-initializing, then overwrite from bytes.
+    if fcfg.frame_features:
+        example = {
+            "features": np.zeros((1, fcfg.max_frames, fcfg.total_size), np.uint8),
+            "num_frames": np.ones((1,), np.int32),
+        }
+    else:
+        example = {"features": np.zeros((1, fcfg.total_size), np.float32)}
+    params, batch_stats = step_lib.init_model_variables(
+        model, example, fcfg.frame_features
+    )
+    with open(os.path.join(export_dir, _PARAMS_FILE), "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+    with open(os.path.join(export_dir, _STATS_FILE), "rb") as f:
+        batch_stats = serialization.from_bytes(batch_stats, f.read())
+
+    predict = jax.jit(
+        step_lib.make_predict_step(
+            model, mcfg, fcfg.frame_features, top_k=meta["top_k"]
+        )
+    )
+
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+    from learnablepoolingmethods_tpu.data.readers import resize_axis
+
+    def serve(serialized_records: List[bytes]):
+        """Serving signature: raw record bytes → (class_indexes, predictions).
+
+        (ref: export_model.py#build_prediction_graph serving_default.)
+        """
+        if fcfg.frame_features:
+            feats, nfs = [], []
+            for rec in serialized_records:
+                _, fl = tfrecord_io.parse_sequence_example(rec)
+                mats = []
+                n = None
+                for name, size in zip(fcfg.feature_names, fcfg.feature_sizes):
+                    rows = [
+                        np.frombuffer(x.bytes_list[0], np.uint8)
+                        for x in fl.get(name, [])
+                    ]
+                    mat = (
+                        np.stack(rows) if rows else np.zeros((0, size), np.uint8)
+                    )
+                    n = mat.shape[0] if n is None else min(n, mat.shape[0])
+                    mats.append(resize_axis(mat, 0, fcfg.max_frames))
+                feats.append(np.concatenate(mats, axis=1))
+                nfs.append(min(n or 0, fcfg.max_frames))
+            values, indices = predict(
+                params,
+                batch_stats,
+                np.stack(feats),
+                np.asarray(nfs, np.int32),
+            )
+        else:
+            feats = []
+            for rec in serialized_records:
+                fmap = tfrecord_io.parse_example(rec)
+                parts = [
+                    np.asarray(fmap[name].float_list, np.float32)
+                    for name in fcfg.feature_names
+                ]
+                feats.append(np.concatenate(parts))
+            values, indices = predict(params, batch_stats, np.stack(feats))
+        return np.asarray(indices), np.asarray(values)
+
+    return model, params, batch_stats, mcfg, fcfg, serve

@@ -1,0 +1,222 @@
+"""Shared absl flag definitions — names mirror the reference CLI exactly.
+
+(ref: flag definitions scattered across train.py / eval.py / inference.py /
+frame_level_models.py / video_level_models.py; SURVEY.md §5.6.)  Users of the
+reference can reuse their command lines: ``--model=NetVLADModelLF
+--frame_features=True --feature_names="rgb,audio" --feature_sizes="1024,128"
+--netvlad_cluster_size=256 ...``.
+
+Flags are bridged into frozen dataclasses (config.py) so everything under jit
+stays hashable/static.
+"""
+
+from __future__ import annotations
+
+from absl import flags
+
+from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig, TrainingConfig
+
+FLAGS = flags.FLAGS
+
+
+def define_data_flags():
+    flags.DEFINE_string(
+        "feature_names", "mean_rgb,mean_audio", "Name of the feature columns."
+    )
+    flags.DEFINE_string(
+        "feature_sizes", "1024,128", "Length of the feature vectors."
+    )
+    flags.DEFINE_bool(
+        "frame_features",
+        False,
+        "If true, input is tf.SequenceExample frame-level features; "
+        "otherwise video-level tf.Example.",
+    )
+    flags.DEFINE_integer("max_frames", 300, "Frame pad/truncate length.")
+    flags.DEFINE_integer("num_classes", 3862, "Vocabulary size.")
+    flags.DEFINE_integer(
+        "num_readers", 8, "How many threads to use for reading input files."
+    )
+
+
+def define_model_flags():
+    flags.DEFINE_string("model", "LogisticModel", "Which model class to use.")
+    flags.DEFINE_string(
+        "video_level_classifier_model",
+        "MoeModel",
+        "Video-level classifier used by frame-level models.",
+    )
+    # MoE
+    flags.DEFINE_integer("moe_num_mixtures", 2, "Mixtures per class for MoeModel.")
+    flags.DEFINE_float("moe_l2", 1e-8, "L2 penalty for MoeModel.")
+    # frame sampling
+    flags.DEFINE_integer("iterations", 30, "Number of frames to sample per video.")
+    flags.DEFINE_bool(
+        "sample_random_frames",
+        True,
+        "If true sample random frames (with replacement); else a random window.",
+    )
+    # DBoF
+    flags.DEFINE_integer("dbof_cluster_size", 8192, "DBoF projection size.")
+    flags.DEFINE_integer("dbof_hidden_size", 1024, "DBoF hidden size.")
+    flags.DEFINE_string("dbof_pooling_method", "max", "DBoF pooling: max|average.")
+    flags.DEFINE_bool("dbof_add_batch_norm", True, "BN in DBoF.")
+    # NetVLAD family
+    flags.DEFINE_integer("netvlad_cluster_size", 256, "NetVLAD clusters (rgb).")
+    flags.DEFINE_integer("netvlad_hidden_size", 1024, "NetVLAD hidden size.")
+    flags.DEFINE_bool("netvlad_add_batch_norm", True, "BN in NetVLAD models.")
+    flags.DEFINE_bool("netvlad_relu", False, "relu6 after the hidden layer.")
+    flags.DEFINE_bool("gating", True, "Context gating before the classifier.")
+    flags.DEFINE_bool("gating_remove_diag", False, "Zero the gating diagonal.")
+    flags.DEFINE_integer("fv_cluster_size", 64, "NetFV clusters.")
+    flags.DEFINE_integer("fv_hidden_size", 1024, "NetFV hidden size.")
+    flags.DEFINE_bool("fv_relu", False, "relu6 in NetFV tail.")
+    flags.DEFINE_bool("fv_couple_weights", False, "Couple FV covar to clusters.")
+    flags.DEFINE_float("fv_coupling_factor", 0.01, "FV coupling factor.")
+    flags.DEFINE_integer("dbow_cluster_size", 4096, "SoftDBoW clusters.")
+    flags.DEFINE_integer("rvlad_cluster_size", 256, "NetRVLAD clusters.")
+    # RNN
+    flags.DEFINE_integer("lstm_cells", 1024, "LSTM cells per layer.")
+    flags.DEFINE_integer("lstm_layers", 2, "LSTM layers.")
+    flags.DEFINE_integer("gru_cells", 1024, "GRU cells per layer.")
+    flags.DEFINE_integer("gru_layers", 2, "GRU layers.")
+    # attention / transformer
+    flags.DEFINE_integer("attention_heads", 8, "Attention heads.")
+    flags.DEFINE_integer("attention_hidden_size", 1024, "Attention model width.")
+    flags.DEFINE_integer("transformer_layers", 2, "Transformer encoder depth.")
+    flags.DEFINE_integer("transformer_ff_size", 2048, "Transformer FFN width.")
+    flags.DEFINE_integer("attention_cluster_size", 64, "Attention pooling slots.")
+    flags.DEFINE_float("attention_dropout", 0.1, "Attention dropout rate.")
+    # numerics (rebuild-only)
+    flags.DEFINE_string(
+        "compute_dtype", "float32", "Model compute dtype: float32|bfloat16."
+    )
+
+
+def define_training_flags():
+    flags.DEFINE_integer("batch_size", 1024, "Videos per training batch.")
+    flags.DEFINE_string("label_loss", "CrossEntropyLoss", "Loss class name.")
+    flags.DEFINE_float(
+        "regularization_penalty", 1.0, "Multiplier on the regularization loss."
+    )
+    flags.DEFINE_float("base_learning_rate", 0.01, "Initial learning rate.")
+    flags.DEFINE_float(
+        "learning_rate_decay",
+        0.95,
+        "Decay rate applied every learning_rate_decay_examples.",
+    )
+    flags.DEFINE_float(
+        "learning_rate_decay_examples",
+        4000000,
+        "Examples between learning-rate decays.",
+    )
+    flags.DEFINE_integer("num_epochs", 5, "Training epochs over the data.")
+    flags.DEFINE_integer("max_steps", 0, "Stop after this many steps (0=∞).")
+    flags.DEFINE_integer(
+        "export_model_steps", 1000, "Export the model every N steps."
+    )
+    flags.DEFINE_string("optimizer", "AdamOptimizer", "Optimizer class name.")
+    flags.DEFINE_float("clip_gradient_norm", 1.0, "Per-gradient norm clip.")
+    flags.DEFINE_integer(
+        "save_checkpoint_every_n_steps", 1000, "Checkpoint cadence in steps."
+    )
+    flags.DEFINE_integer(
+        "keep_checkpoint_max", 0, "Max checkpoints to keep (0 = all)."
+    )
+    flags.DEFINE_integer("log_every_n_steps", 10, "Steps between log lines.")
+    flags.DEFINE_integer("seed", 0, "PRNG seed.")
+
+
+def feature_config_from_flags() -> FeatureConfig:
+    return FeatureConfig.from_flag_strings(
+        FLAGS.feature_names,
+        FLAGS.feature_sizes,
+        FLAGS.frame_features,
+        FLAGS.max_frames,
+    )
+
+
+def model_config_from_flags() -> ModelConfig:
+    return ModelConfig(
+        vocab_size=FLAGS.num_classes,
+        moe_num_mixtures=FLAGS.moe_num_mixtures,
+        moe_l2=FLAGS.moe_l2,
+        iterations=FLAGS.iterations,
+        sample_random_frames=FLAGS.sample_random_frames,
+        dbof_cluster_size=FLAGS.dbof_cluster_size,
+        dbof_hidden_size=FLAGS.dbof_hidden_size,
+        dbof_pooling_method=FLAGS.dbof_pooling_method,
+        dbof_add_batch_norm=FLAGS.dbof_add_batch_norm,
+        netvlad_cluster_size=FLAGS.netvlad_cluster_size,
+        netvlad_hidden_size=FLAGS.netvlad_hidden_size,
+        netvlad_add_batch_norm=FLAGS.netvlad_add_batch_norm,
+        netvlad_relu=FLAGS.netvlad_relu,
+        gating=FLAGS.gating,
+        gating_remove_diag=FLAGS.gating_remove_diag,
+        fv_cluster_size=FLAGS.fv_cluster_size,
+        fv_hidden_size=FLAGS.fv_hidden_size,
+        fv_relu=FLAGS.fv_relu,
+        fv_couple_weights=FLAGS.fv_couple_weights,
+        fv_coupling_factor=FLAGS.fv_coupling_factor,
+        dbow_cluster_size=FLAGS.dbow_cluster_size,
+        rvlad_cluster_size=FLAGS.rvlad_cluster_size,
+        lstm_cells=FLAGS.lstm_cells,
+        lstm_layers=FLAGS.lstm_layers,
+        gru_cells=FLAGS.gru_cells,
+        gru_layers=FLAGS.gru_layers,
+        attention_heads=FLAGS.attention_heads,
+        attention_hidden_size=FLAGS.attention_hidden_size,
+        transformer_layers=FLAGS.transformer_layers,
+        transformer_ff_size=FLAGS.transformer_ff_size,
+        attention_cluster_size=FLAGS.attention_cluster_size,
+        attention_dropout=FLAGS.attention_dropout,
+        video_level_classifier_model=FLAGS.video_level_classifier_model,
+        compute_dtype=FLAGS.compute_dtype,
+    )
+
+
+def training_config_from_flags() -> TrainingConfig:
+    return TrainingConfig(
+        batch_size=FLAGS.batch_size,
+        base_learning_rate=FLAGS.base_learning_rate,
+        learning_rate_decay=FLAGS.learning_rate_decay,
+        learning_rate_decay_examples=int(FLAGS.learning_rate_decay_examples),
+        optimizer=FLAGS.optimizer,
+        clip_gradient_norm=FLAGS.clip_gradient_norm,
+        regularization_penalty=FLAGS.regularization_penalty,
+        label_loss=FLAGS.label_loss,
+        num_epochs=FLAGS.num_epochs,
+        max_steps=FLAGS.max_steps,
+        export_model_steps=FLAGS.export_model_steps,
+        save_checkpoint_every_n_steps=FLAGS.save_checkpoint_every_n_steps,
+        keep_checkpoint_max=FLAGS.keep_checkpoint_max,
+    )
+
+
+def make_reader(fcfg: FeatureConfig, num_classes: int):
+    from learnablepoolingmethods_tpu.data.readers import (
+        YT8MAggregatedFeatureReader,
+        YT8MFrameFeatureReader,
+    )
+
+    if fcfg.frame_features:
+        return YT8MFrameFeatureReader(
+            num_classes=num_classes,
+            feature_sizes=fcfg.feature_sizes,
+            feature_names=fcfg.feature_names,
+            max_frames=fcfg.max_frames,
+        )
+    return YT8MAggregatedFeatureReader(
+        num_classes=num_classes,
+        feature_sizes=fcfg.feature_sizes,
+        feature_names=fcfg.feature_names,
+    )
+
+
+def get_loss_by_name(name: str):
+    from learnablepoolingmethods_tpu import losses as losses_mod
+
+    cls = getattr(losses_mod, name, None)
+    if cls is None:
+        raise ValueError(f"Unknown label_loss {name!r}")
+    return cls()

@@ -1,0 +1,121 @@
+"""Inference entrypoint (ref: inference.py#main / #inference / #format_lines).
+
+Streams input TFRecords through the jit'd forward + on-device top-k
+(ops hot loop — the north-star throughput path) and writes the Kaggle
+submission CSV ``VideoId,LabelConfidencePairs``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+from absl import app, flags, logging
+
+from learnablepoolingmethods_tpu import flags as lpm_flags
+from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import step as step_lib
+from learnablepoolingmethods_tpu.data import pipeline
+from learnablepoolingmethods_tpu.models import create_model
+from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+FLAGS = flags.FLAGS
+
+
+def define_flags():
+    flags.DEFINE_string("input_data_pattern", "", "File glob for input TFRecords.")
+    flags.DEFINE_string("train_dir", "/tmp/yt8m_model/", "Checkpoint directory.")
+    flags.DEFINE_string("output_file", "", "Destination CSV path.")
+    flags.DEFINE_integer("top_k", 20, "How many predictions to write per video.")
+    lpm_flags.define_data_flags()
+    lpm_flags.define_model_flags()
+    lpm_flags.define_training_flags()
+
+
+def format_lines(video_ids, top_values, top_indices):
+    """Kaggle CSV lines (ref: inference.py#format_lines)."""
+    for vid, values, indices in zip(video_ids, top_values, top_indices):
+        pairs = " ".join(
+            f"{int(idx)} {float(val):.6f}" for idx, val in zip(indices, values)
+        )
+        yield f"{vid.decode() if isinstance(vid, bytes) else vid},{pairs}\n"
+
+
+def inference(reader, train_dir, data_pattern, out_file_location, batch_size, top_k):
+    fcfg = lpm_flags.feature_config_from_flags()
+    mcfg = lpm_flags.model_config_from_flags()
+    model = create_model(FLAGS.model, mcfg)
+
+    mngr = ckpt_lib.CheckpointManager(train_dir)
+    step_num = mngr.latest_step()
+    if step_num is None:
+        raise IOError(f"no checkpoint found in {train_dir}")
+    tree = mngr.restore(step_num)
+    logging.info("restored checkpoint at step %d", step_num)
+
+    mesh = mesh_lib.create_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    repl = mesh_lib.replicated_sharding(mesh)
+    params = jax.device_put(tree["params"], repl)
+    batch_stats = jax.device_put(tree["batch_stats"], repl)
+
+    predict_step = jax.jit(
+        step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
+    )
+
+    num_examples_processed = 0
+    start_time = time.time()
+    with open(out_file_location, "w") as out_file:
+        out_file.write("VideoId,LabelConfidencePairs\n")
+        for batch in pipeline.batch_iterator(
+            reader, data_pattern, batch_size, num_epochs=1
+        ):
+            batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+            feats = jax.device_put(
+                batch["features"], mesh_lib.batch_sharding(mesh)
+            )
+            nf = (
+                jax.device_put(batch["num_frames"], mesh_lib.batch_sharding(mesh))
+                if "num_frames" in batch
+                else None
+            )
+            values, indices = predict_step(params, batch_stats, feats, nf)
+            w = np.asarray(batch["weights"])
+            real = w > 0
+            num_examples_processed += int(real.sum())
+            vids = [v for v, keep in zip(batch["video_id"], real) if keep]
+            out_file.writelines(
+                format_lines(vids, np.asarray(values)[real], np.asarray(indices)[real])
+            )
+            elapsed = time.time() - start_time
+            logging.info(
+                "num examples processed: %d | elapsed seconds: %.2f (%.1f ex/s)",
+                num_examples_processed, elapsed,
+                num_examples_processed / max(elapsed, 1e-9),
+            )
+    logging.info("done; wrote %s", out_file_location)
+
+
+def main(unused_argv):
+    logging.set_verbosity(logging.INFO)
+    fcfg = lpm_flags.feature_config_from_flags()
+    reader = lpm_flags.make_reader(fcfg, FLAGS.num_classes)
+    if not FLAGS.output_file:
+        raise ValueError("'output_file' was not specified. Unable to continue with inference.")
+    if not FLAGS.input_data_pattern:
+        raise ValueError("'input_data_pattern' was not specified. Unable to continue with inference.")
+    inference(
+        reader,
+        FLAGS.train_dir,
+        FLAGS.input_data_pattern,
+        FLAGS.output_file,
+        FLAGS.batch_size,
+        FLAGS.top_k,
+    )
+
+
+define_flags()
+
+if __name__ == "__main__":
+    app.run(main)

@@ -18,10 +18,19 @@ import jax.numpy as jnp
 
 
 class BaseLoss:
-    """Loss contract (ref: losses.py#BaseLoss.calculate_loss)."""
+    """Loss contract (ref: losses.py#BaseLoss.calculate_loss).
 
-    def calculate_loss(self, unused_predictions, unused_labels, **unused_params):
+    ``calculate_per_example_loss`` returns the per-video loss [B] (class-sum);
+    ``calculate_loss`` is its batch mean — exactly the reference scalar.  The
+    per-example form lets the train/eval steps weight out end-of-data padding
+    rows without changing reference semantics on full batches.
+    """
+
+    def calculate_per_example_loss(self, predictions, labels, **params):
         raise NotImplementedError()
+
+    def calculate_loss(self, predictions, labels, **params):
+        return jnp.mean(self.calculate_per_example_loss(predictions, labels, **params))
 
 
 class CrossEntropyLoss(BaseLoss):
@@ -31,14 +40,13 @@ class CrossEntropyLoss(BaseLoss):
     mean over batch.)
     """
 
-    def calculate_loss(self, predictions, labels, **unused_params):
+    def calculate_per_example_loss(self, predictions, labels, **unused_params):
         epsilon = 10e-6
         float_labels = labels.astype(predictions.dtype)
         cross_entropy_loss = float_labels * jnp.log(predictions + epsilon) + (
             1.0 - float_labels
         ) * jnp.log(1.0 - predictions + epsilon)
-        cross_entropy_loss = -cross_entropy_loss
-        return jnp.mean(jnp.sum(cross_entropy_loss, axis=1))
+        return jnp.sum(-cross_entropy_loss, axis=1)
 
 
 class HingeLoss(BaseLoss):
@@ -48,11 +56,11 @@ class HingeLoss(BaseLoss):
     sum over classes, mean over batch.)
     """
 
-    def calculate_loss(self, predictions, labels, b=1.0, **unused_params):
+    def calculate_per_example_loss(self, predictions, labels, b=1.0, **unused_params):
         float_labels = labels.astype(predictions.dtype)
         sign_labels = 2.0 * float_labels - 1.0
         hinge_loss = jnp.maximum(0.0, b - sign_labels * predictions)
-        return jnp.mean(jnp.sum(hinge_loss, axis=1))
+        return jnp.sum(hinge_loss, axis=1)
 
 
 class SoftmaxLoss(BaseLoss):
@@ -62,7 +70,7 @@ class SoftmaxLoss(BaseLoss):
     softmax over predictions, mean over batch.)
     """
 
-    def calculate_loss(self, predictions, labels, **unused_params):
+    def calculate_per_example_loss(self, predictions, labels, **unused_params):
         epsilon = 10e-8
         float_labels = labels.astype(predictions.dtype)
         label_rowsum = jnp.maximum(
@@ -75,5 +83,4 @@ class SoftmaxLoss(BaseLoss):
         log_softmax = log_softmax - jnp.log(
             jnp.sum(jnp.exp(log_softmax), axis=1, keepdims=True)
         )
-        softmax_loss = -jnp.sum(norm_float_labels * log_softmax, axis=1)
-        return jnp.mean(softmax_loss)
+        return -jnp.sum(norm_float_labels * log_softmax, axis=1)

@@ -55,7 +55,7 @@ class AveragePrecisionCalculator:
         if len(predictions) != len(actuals):
             raise ValueError("the shape of predictions and actuals does not match.")
         if num_positives is not None:
-            if not isinstance(num_positives, (int, float)) or num_positives < 0:
+            if not np.isscalar(num_positives) or num_positives < 0:
                 raise ValueError("'num_positives' was provided but it was a negative number.")
             self._total_positives += num_positives
         else:

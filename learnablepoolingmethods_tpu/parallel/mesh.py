@@ -1,0 +1,107 @@
+"""Device mesh + sharding rules — the rebuild's communication backend.
+
+The reference distributes via a TF1 gRPC parameter server with asynchronous
+SGD (ref: train.py#ParameterServer, #start_server,
+tf.train.replica_device_setter; SURVEY.md §2.4/§5.8).  The TPU-native
+equivalent is GSPMD: one ``jax.sharding.Mesh`` over all chips, the batch axis
+sharded over ``"data"``, parameters replicated, and XLA inserting the
+gradient all-reduce (psum) over ICI.  There is deliberately no transport
+code here — collectives ride ICI/DCN through XLA; this module owns mesh
+construction, sharding rules, and multi-host init.
+
+Synchronous DP replaces the reference's async-PS staleness by design
+(SURVEY.md §2.4): same capability (scale-out data parallelism), better
+convergence semantics, no PS hotspot.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (replaces TF_CONFIG cluster parsing,
+    ref: train.py#main cluster setup).  No-op for single-process runs."""
+    if coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data_parallelism: Optional[int] = None,
+    model_parallelism: int = 1,
+) -> Mesh:
+    """Build a ("data", "model") mesh over the available chips.
+
+    Parity scope needs only the data axis (SURVEY.md §2.4: TP/PP absent in
+    the reference); the model axis exists for sharding the NetVLAD hidden FC
+    (~285M params) when a config outgrows one chip's HBM.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data_parallelism is None:
+        data_parallelism = n // model_parallelism
+    if data_parallelism * model_parallelism != n:
+        raise ValueError(
+            f"mesh {data_parallelism}x{model_parallelism} != {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data_parallelism, model_parallelism)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated (parameters, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """device_put every array in a host batch with batch-axis sharding."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) or hasattr(v, "shape"):
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v  # e.g. video_id byte strings stay on host
+    return out
+
+
+def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
+    """Zero-pad the batch axis to a device-count multiple, extending the
+    ``weights`` mask so padded rows are ignored downstream."""
+    n = batch["features"].shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch
+    pad = multiple - rem
+    out = {}
+    for k, v in batch.items():
+        if k == "video_id":
+            out[k] = list(v) + [b""] * pad
+        elif hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == n:
+            out[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], dtype=v.dtype)]
+            )
+        else:
+            out[k] = v
+    return out

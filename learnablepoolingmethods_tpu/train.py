@@ -1,0 +1,218 @@
+"""Train entrypoint (ref: train.py#main / #Trainer.run / #build_graph).
+
+Flag-compatible with the reference:
+
+    python -m learnablepoolingmethods_tpu.train \
+        --model=NetVLADModelLF --frame_features=True \
+        --feature_names="rgb,audio" --feature_sizes="1024,128" \
+        --train_data_pattern='gs://.../train*.tfrecord' --train_dir=/tmp/model
+
+Architecture (TPU-native, SURVEY.md §7): host reader threads → fixed-shape
+uint8 batches → one fused jit program per step (device dequantize +
+ℓ2-normalize + forward + backward + per-leaf clip + update) over a
+``jax.sharding`` data mesh; gradients all-reduce over ICI via GSPMD.  The
+reference's parameter-server/Supervisor machinery collapses into orbax
+checkpoint/resume + synchronous data parallelism (SURVEY.md §2.4, §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+from absl import app, flags, logging
+
+from learnablepoolingmethods_tpu import flags as lpm_flags
+from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import optimizers, step as step_lib
+from learnablepoolingmethods_tpu.core.train_state import TrainState
+from learnablepoolingmethods_tpu.data import pipeline
+from learnablepoolingmethods_tpu.metrics import eval_util
+from learnablepoolingmethods_tpu.models import create_model
+from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+FLAGS = flags.FLAGS
+
+
+def define_flags():
+    flags.DEFINE_string(
+        "train_data_pattern", "", "File glob for the training TFRecords."
+    )
+    flags.DEFINE_string("train_dir", "/tmp/yt8m_model/", "Model/checkpoint dir.")
+    flags.DEFINE_bool(
+        "start_new_model",
+        False,
+        "If set, wipe train_dir and train from scratch (ref: --start_new_model).",
+    )
+    flags.DEFINE_integer("shuffle_buffer", 1024, "Shuffle buffer size.")
+    lpm_flags.define_data_flags()
+    lpm_flags.define_model_flags()
+    lpm_flags.define_training_flags()
+
+
+class Trainer:
+    """Single-controller trainer (ref: train.py#Trainer)."""
+
+    def __init__(self, train_dir: str):
+        self.train_dir = train_dir
+
+    def run(self):
+        fcfg = lpm_flags.feature_config_from_flags()
+        mcfg = lpm_flags.model_config_from_flags()
+        tcfg = lpm_flags.training_config_from_flags()
+        reader = lpm_flags.make_reader(fcfg, mcfg.vocab_size)
+        model = create_model(FLAGS.model, mcfg)
+        loss_obj = lpm_flags.get_loss_by_name(tcfg.label_loss)
+        tx = optimizers.create_optimizer(tcfg)
+        lr_schedule = optimizers.learning_rate_schedule(tcfg)
+
+        if FLAGS.start_new_model and os.path.exists(self.train_dir):
+            logging.info("%s: removing existing train dir", task_as_string())
+            shutil.rmtree(self.train_dir)
+        os.makedirs(self.train_dir, exist_ok=True)
+
+        devices = jax.devices()
+        mesh = mesh_lib.create_mesh(devices)
+        n_dev = len(devices)
+        logging.info(
+            "%s: mesh over %d %s device(s)", task_as_string(), n_dev,
+            devices[0].platform,
+        )
+
+        batches = pipeline.batch_iterator(
+            reader,
+            FLAGS.train_data_pattern,
+            tcfg.batch_size,
+            num_epochs=tcfg.num_epochs if tcfg.num_epochs > 0 else None,
+            shuffle=True,
+            shuffle_buffer=FLAGS.shuffle_buffer,
+            seed=FLAGS.seed,
+        )
+        try:
+            first_batch = next(batches)
+        except StopIteration:
+            raise IOError("training data pattern matched no records")
+
+        params, batch_stats = step_lib.init_model_variables(
+            model, first_batch, fcfg.frame_features, seed=FLAGS.seed
+        )
+        state = TrainState.create(params, batch_stats, tx)
+
+        keep = tcfg.keep_checkpoint_max if tcfg.keep_checkpoint_max > 0 else None
+        mngr = ckpt_lib.CheckpointManager(self.train_dir, keep=keep)
+        restored = mngr.restore_latest(
+            ckpt_lib.abstract_like(ckpt_lib.state_to_tree(state))
+        )
+        if restored is not None:
+            state = ckpt_lib.tree_to_state(restored, tx)
+            logging.info(
+                "%s: restored checkpoint at step %d",
+                task_as_string(),
+                int(state.step),
+            )
+
+        repl = mesh_lib.replicated_sharding(mesh)
+        state = jax.device_put(state, repl)
+        rng = jax.device_put(jax.random.key(FLAGS.seed), repl)
+
+        train_step = jax.jit(
+            step_lib.make_train_step(model, loss_obj, tcfg, mcfg, fcfg.frame_features),
+            donate_argnums=0,
+        )
+
+        def put(batch):
+            batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+            return {
+                k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+                for k, v in batch.items()
+                if k != "video_id"
+            }
+
+        log_every = max(FLAGS.log_every_n_steps, 1)
+        last_log_time, last_log_step = time.time(), int(state.step)
+        batch = first_batch
+        metrics = None
+        labels_for_log = None
+        while True:
+            step_num = int(state.step)
+            if tcfg.max_steps and step_num >= tcfg.max_steps:
+                break
+            device_batch = put(batch)
+            labels_for_log = batch["labels"]
+            state, metrics = train_step(state, device_batch, rng)
+            step_num += 1
+
+            if step_num % log_every == 0:
+                loss_val = float(metrics["loss"])
+                preds = np.asarray(metrics["predictions"])[: labels_for_log.shape[0]]
+                gap = eval_util.calculate_gap(preds, labels_for_log)
+                hit1 = eval_util.calculate_hit_at_one(preds, labels_for_log)
+                perr = eval_util.calculate_precision_at_equal_recall_rate(
+                    preds, labels_for_log
+                )
+                now = time.time()
+                eps = (
+                    (step_num - last_log_step)
+                    * tcfg.batch_size
+                    / max(now - last_log_time, 1e-9)
+                )
+                last_log_time, last_log_step = now, step_num
+                logging.info(
+                    "%s: training step %d | Loss: %.4f Hit@1: %.4f PERR: %.4f "
+                    "GAP: %.4f | %.1f examples/sec | lr %.6f",
+                    task_as_string(), step_num, loss_val, hit1, perr, gap, eps,
+                    float(lr_schedule(step_num)),
+                )
+
+            if step_num % tcfg.save_checkpoint_every_n_steps == 0:
+                mngr.save(step_num, ckpt_lib.state_to_tree(state))
+                logging.info("%s: saved checkpoint at step %d", task_as_string(), step_num)
+
+            if tcfg.export_model_steps and step_num % tcfg.export_model_steps == 0:
+                self._export(step_num, state, mcfg, fcfg)
+
+            try:
+                batch = next(batches)
+            except StopIteration:
+                break
+
+        final_step = int(state.step)
+        mngr.save(final_step, ckpt_lib.state_to_tree(state))
+        logging.info("%s: done; final checkpoint at step %d", task_as_string(), final_step)
+        mngr.close()
+        return state
+
+    def _export(self, step_num, state, mcfg, fcfg):
+        from learnablepoolingmethods_tpu import export_model as export_lib
+
+        export_dir = os.path.join(
+            self.train_dir, "export", f"step_{step_num}"
+        )
+        export_lib.export_model(
+            export_dir,
+            FLAGS.model,
+            mcfg,
+            fcfg,
+            jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+        )
+        logging.info("%s: exported model to %s", task_as_string(), export_dir)
+
+
+def task_as_string():
+    return f"/job:master/task:{jax.process_index()}"
+
+
+def main(unused_argv):
+    logging.set_verbosity(logging.INFO)
+    logging.info("%s: JAX version: %s", task_as_string(), jax.__version__)
+    Trainer(FLAGS.train_dir).run()
+
+
+define_flags()
+
+if __name__ == "__main__":
+    app.run(main)

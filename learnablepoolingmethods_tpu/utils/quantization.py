@@ -38,7 +38,10 @@ def dequantize(
 ) -> jnp.ndarray:
     """JAX dequantize — bit-exact with the reference affine (utils.py#Dequantize)."""
     scalar, bias = _scalar_bias(max_quantized_value, min_quantized_value)
-    return feat_vector.astype(dtype) * dtype(scalar) + dtype(bias)
+    return (
+        feat_vector.astype(dtype) * jnp.asarray(scalar, dtype)
+        + jnp.asarray(bias, dtype)
+    )
 
 
 def dequantize_np(

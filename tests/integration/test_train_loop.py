@@ -1,0 +1,118 @@
+"""End-to-end integration: convergence, checkpoint resume, export roundtrip
+(SURVEY.md §4 item 5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from learnablepoolingmethods_tpu import losses
+from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig, TrainingConfig
+from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import optimizers, step as step_lib
+from learnablepoolingmethods_tpu.core.train_state import TrainState
+from learnablepoolingmethods_tpu.data import fixtures, pipeline
+from learnablepoolingmethods_tpu.data.readers import YT8MAggregatedFeatureReader
+from learnablepoolingmethods_tpu.metrics import eval_util
+from learnablepoolingmethods_tpu.models import create_model
+from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+MCFG = ModelConfig(vocab_size=32)
+TCFG = TrainingConfig(batch_size=64, base_learning_rate=0.05, num_epochs=20)
+
+
+@pytest.fixture(scope="module")
+def synthetic_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "syn.tfrecord")
+    fixtures.make_learnable_synthetic_video_level(
+        path, num_videos=256, num_classes=32, rgb_size=16, audio_size=4
+    )
+    return path
+
+
+def _train(path, num_epochs=20, state=None, seed=0):
+    reader = YT8MAggregatedFeatureReader(num_classes=32, feature_sizes=(16, 4))
+    model = create_model("LogisticModel", MCFG)
+    loss_obj = losses.CrossEntropyLoss()
+    tx = optimizers.create_optimizer(TCFG)
+    batches = pipeline.batch_iterator(
+        reader, path, 64, num_epochs=num_epochs, shuffle=True, seed=seed
+    )
+    first = next(batches)
+    if state is None:
+        params, bs = step_lib.init_model_variables(model, first, frame_features=False)
+        state = TrainState.create(params, bs, tx)
+    mesh = mesh_lib.create_mesh()
+    state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    rng = jax.device_put(jax.random.key(0), mesh_lib.replicated_sharding(mesh))
+    train_step = jax.jit(
+        step_lib.make_train_step(model, loss_obj, TCFG, MCFG, False), donate_argnums=0
+    )
+    logs = []
+    batch = first
+    while True:
+        db = {
+            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+            for k, v in batch.items()
+            if k != "video_id"
+        }
+        state, m = train_step(state, db, rng)
+        logs.append((float(m["loss"]), np.asarray(m["predictions"]), batch["labels"]))
+        try:
+            batch = next(batches)
+        except StopIteration:
+            break
+    return state, model, tx, logs
+
+
+def test_training_converges_and_gap_improves(synthetic_path):
+    state, _, _, logs = _train(synthetic_path)
+    first_loss, first_preds, first_labels = logs[0]
+    last_loss, last_preds, last_labels = logs[-1]
+    assert last_loss < first_loss * 0.7
+    gap_first = eval_util.calculate_gap(first_preds, first_labels)
+    gap_last = eval_util.calculate_gap(last_preds, last_labels)
+    assert gap_last > gap_first
+    assert gap_last > 0.9
+
+
+def test_checkpoint_save_restore_roundtrip(synthetic_path, tmp_path):
+    state, model, tx, _ = _train(synthetic_path, num_epochs=2)
+    mngr = ckpt_lib.CheckpointManager(str(tmp_path / "td"))
+    mngr.save(int(state.step), ckpt_lib.state_to_tree(state))
+    assert mngr.latest_step() == int(state.step)
+
+    restored_tree = mngr.restore_latest(
+        ckpt_lib.abstract_like(jax.device_get(ckpt_lib.state_to_tree(state)))
+    )
+    restored = ckpt_lib.tree_to_state(restored_tree, tx)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mngr.close()
+
+
+def test_export_serve_matches_predict(synthetic_path, tmp_path):
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+    from learnablepoolingmethods_tpu.export_model import export_model, load_exported_model
+
+    state, model, _, _ = _train(synthetic_path, num_epochs=2)
+    fcfg = FeatureConfig(
+        feature_names=("mean_rgb", "mean_audio"), feature_sizes=(16, 4)
+    )
+    export_dir = str(tmp_path / "export")
+    export_model(
+        export_dir, "LogisticModel", MCFG, fcfg,
+        jax.device_get(state.params), jax.device_get(state.batch_stats), top_k=5,
+    )
+
+    _, params, bs, _, _, serve = load_exported_model(export_dir)
+    recs = list(tfrecord_io.read_tfrecords(synthetic_path))[:3]
+    idx, vals = serve(recs)
+    assert idx.shape == (3, 5) and vals.shape == (3, 5)
+
+    # must equal direct predict on the same features
+    reader = YT8MAggregatedFeatureReader(num_classes=32, feature_sizes=(16, 4))
+    feats = np.stack([r["features"] for r in list(reader.read_file(synthetic_path))[:3]])
+    predict = step_lib.make_predict_step(model, MCFG, False, top_k=5)
+    v2, i2 = predict(jax.device_get(state.params), jax.device_get(state.batch_stats), feats)
+    np.testing.assert_array_equal(idx, np.asarray(i2))
+    np.testing.assert_allclose(vals, np.asarray(v2), rtol=1e-6)
