@@ -120,6 +120,13 @@ class ModelConfig:
     # --- composition ---
     video_level_classifier_model: str = "MoeModel"  # --video_level_classifier_model
 
+    # --- input-stage control (rebuild-only) ---
+    # When True, frame sampling already happened in the input stage (uint8
+    # gather before dequantize — mathematically identical to the reference's
+    # in-model sampling since ℓ2-normalize is row-wise); frame models skip
+    # their internal sampling.
+    presampled: bool = False
+
     # --- numerics (rebuild-only: TPU dtype policy) ---
     compute_dtype: str = "float32"      # "bfloat16" on TPU hot paths
     param_dtype: str = "float32"

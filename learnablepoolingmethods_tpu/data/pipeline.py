@@ -85,6 +85,87 @@ def batch_iterator(
         yield _collate(pending, pad_to=batch_size if pad_final_batch else None)
 
 
+def native_batch_iterator(
+    data_pattern: str,
+    batch_size: int,
+    frame_level: bool,
+    feature_sizes=(1024, 128),
+    feature_names=None,
+    num_classes: int = 3862,
+    max_frames: int = 300,
+    num_epochs: Optional[int] = 1,
+    shuffle: bool = False,
+    seed: int = 0,
+    num_workers: int = 8,
+    pad_final_batch: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Batch iterator over the native C++ parser (data/native_loader.py).
+
+    Files are parsed into packed arrays on a thread pool (the C calls release
+    the GIL — this is the rebuild's ``--num_readers`` parallelism), then
+    batches are sliced out with an optional per-epoch permutation.  Falls
+    back to the Python reader automatically if the native library is
+    unavailable.
+    """
+    from learnablepoolingmethods_tpu.data import native_loader
+
+    if feature_names is None:
+        feature_names = ("rgb", "audio") if frame_level else ("mean_rgb", "mean_audio")
+
+    if not native_loader.is_available():
+        from learnablepoolingmethods_tpu.data.readers import (
+            YT8MAggregatedFeatureReader,
+            YT8MFrameFeatureReader,
+        )
+
+        reader = (
+            YT8MFrameFeatureReader(num_classes, feature_sizes, feature_names, max_frames)
+            if frame_level
+            else YT8MAggregatedFeatureReader(num_classes, feature_sizes, feature_names)
+        )
+        yield from batch_iterator(
+            reader, data_pattern, batch_size, num_epochs, shuffle,
+            seed=seed, pad_final_batch=pad_final_batch,
+        )
+        return
+
+    files = sorted(_glob.glob(data_pattern))
+    if not files:
+        raise IOError(f"Unable to find input files. data_pattern='{data_pattern}'")
+    kwargs = dict(feature_sizes=tuple(feature_sizes), feature_names=tuple(feature_names),
+                  num_classes=num_classes)
+    if frame_level:
+        kwargs["max_frames"] = max_frames
+    rng = np.random.default_rng(seed)
+
+    epoch = 0
+    pending: list = []
+    while num_epochs is None or epoch < num_epochs:
+        epoch_files = list(files)
+        if shuffle:
+            rng.shuffle(epoch_files)
+        for out in native_loader.parse_files_parallel(
+            epoch_files, frame_level=frame_level, num_workers=num_workers, **kwargs
+        ):
+            n = out["features"].shape[0]
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            for i in order:
+                rec = {
+                    "video_id": out["video_id"][i],
+                    "features": out["features"][i],
+                    "labels": out["labels"][i],
+                }
+                if frame_level:
+                    rec["num_frames"] = out["num_frames"][i]
+                pending.append(rec)
+                if len(pending) == batch_size:
+                    yield _collate(pending, pad_to=None)
+                    pending = []
+        epoch += 1
+    if pending:
+        yield _collate(pending, pad_to=batch_size if pad_final_batch else None)
+
+
 def _collate(records, pad_to: Optional[int]) -> Dict[str, np.ndarray]:
     n = len(records)
     total = pad_to or n

@@ -43,6 +43,8 @@ class _FrameModelBase(BaseModel):
 
     def _sample_frames(self, model_input, num_frames, iterations: int):
         """(ref: DbofModel/NetVLADModelLF frame sampling preamble)."""
+        if self.cfg.presampled:
+            return model_input
         num_frames = jnp.minimum(
             jnp.asarray(num_frames, jnp.int32), model_input.shape[1]
         )

@@ -86,6 +86,31 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def shard_params(params, mesh: Mesh, min_size: int = 1 << 22):
+    """Shard large matrix params' last axis over the model axis; replicate rest.
+
+    Parity scope needs no tensor parallelism (SURVEY.md §2.4), but the Willow
+    NetVLAD config's 278528×1024 hidden FC (~285M params) can exceed one
+    chip's HBM headroom at fp32 — sharding its output axis over ``"model"``
+    splits both the weight and its matmul, with XLA all-gathering activations
+    over ICI.
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+
+    def rule(p):
+        if (
+            model_size > 1
+            and p.ndim >= 2
+            and p.size >= min_size
+            and p.shape[-1] % model_size == 0
+        ):
+            spec = [None] * (p.ndim - 1) + [MODEL_AXIS]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(lambda p: jax.device_put(p, rule(p)), params)
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Zero-pad the batch axis to a device-count multiple, extending the
     ``weights`` mask so padded rows are ignored downstream."""

@@ -12,21 +12,31 @@ V = 12  # vocab
 
 
 def test_moe_golden(rng):
-    """MoE head (ref: video_level_models.py#MoeModel) with identical weights."""
-    cfg = ModelConfig(vocab_size=V, moe_num_mixtures=2)
+    """MoE head (ref: video_level_models.py#MoeModel) with identical weights.
+
+    Our kernels are vocab-major ([D, m·V+v]); the reference is mixture-major
+    ([D, v·(M+1)+m]).  Map ours into the reference layout and run the exact
+    TF transcription — predictions must agree.
+    """
+    num_mixtures = 2
+    cfg = ModelConfig(vocab_size=V, moe_num_mixtures=num_mixtures)
     m = create_model("MoeModel", cfg)
     x = rng.normal(size=(5, 8)).astype(np.float32)
     variables = m.init(jax.random.key(0), jnp.asarray(x))
     got = np.asarray(m.apply(variables, jnp.asarray(x))["predictions"])
 
     p = variables["params"]
-    gate_w = tf.constant(np.asarray(p["gates"]["kernel"]))
-    exp_w = tf.constant(np.asarray(p["experts"]["kernel"]))
-    exp_b = tf.constant(np.asarray(p["experts"]["bias"]))
-    num_mixtures = 2
+    d = 8
+    # ours [D, (M+1)*V] vocab-major → reference [D, V*(M+1)] mixture-major
+    gate_ours = np.asarray(p["gates_kernel"]).reshape(d, num_mixtures + 1, V)
+    gate_ref = gate_ours.transpose(0, 2, 1).reshape(d, V * (num_mixtures + 1))
+    exp_ours = np.asarray(p["experts_kernel"]).reshape(d, num_mixtures, V)
+    exp_ref = exp_ours.transpose(0, 2, 1).reshape(d, V * num_mixtures)
+    bias_ours = np.asarray(p["experts_bias"]).reshape(num_mixtures, V)
+    bias_ref = bias_ours.transpose(1, 0).reshape(V * num_mixtures)
 
-    gate_activations = tf.matmul(tf.constant(x), gate_w)  # no bias
-    expert_activations = tf.matmul(tf.constant(x), exp_w) + exp_b
+    gate_activations = tf.matmul(tf.constant(x), tf.constant(gate_ref))  # no bias
+    expert_activations = tf.matmul(tf.constant(x), tf.constant(exp_ref)) + bias_ref
     gating = tf.nn.softmax(tf.reshape(gate_activations, [-1, num_mixtures + 1]))
     expert = tf.nn.sigmoid(tf.reshape(expert_activations, [-1, num_mixtures]))
     probs = tf.reduce_sum(gating[:, :num_mixtures] * expert, 1)

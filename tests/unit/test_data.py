@@ -217,3 +217,31 @@ def test_missing_pattern_raises():
     reader = YT8MAggregatedFeatureReader()
     with pytest.raises(IOError, match="Unable to find input files"):
         list(pipeline.batch_iterator(reader, "/nonexistent/*.tfrecord", 4))
+
+
+def test_native_batch_iterator_matches_python(tmp_path):
+    """native_batch_iterator ≡ batch_iterator on the same files (no shuffle)."""
+    from learnablepoolingmethods_tpu.data import native_loader
+
+    if not native_loader.is_available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    path = str(tmp_path / "f.tfrecord")
+    fixtures.write_frame_level_fixture(path, num_videos=9, num_classes=20,
+                                       rgb_size=8, audio_size=4, max_frames=12, seed=2)
+    reader = YT8MFrameFeatureReader(num_classes=20, feature_sizes=(8, 4), max_frames=12)
+    py_batches = list(pipeline.batch_iterator(reader, path, 4, num_epochs=1))
+    nat_batches = list(
+        pipeline.native_batch_iterator(
+            path, 4, frame_level=True, feature_sizes=(8, 4), num_classes=20,
+            max_frames=12,
+        )
+    )
+    assert len(py_batches) == len(nat_batches) == 3
+    for pb, nb in zip(py_batches, nat_batches):
+        np.testing.assert_array_equal(pb["features"], nb["features"])
+        np.testing.assert_array_equal(pb["labels"], nb["labels"])
+        np.testing.assert_array_equal(pb["num_frames"], nb["num_frames"])
+        np.testing.assert_array_equal(pb["weights"], nb["weights"])
+        assert pb["video_id"] == nb["video_id"]

@@ -1,0 +1,108 @@
+"""Native C++ loader: build, parse, and cross-validate vs the Python parser."""
+
+import numpy as np
+import pytest
+
+from learnablepoolingmethods_tpu.data import fixtures, native_loader
+from learnablepoolingmethods_tpu.data.readers import (
+    YT8MAggregatedFeatureReader,
+    YT8MFrameFeatureReader,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.is_available(),
+    reason=f"native loader unavailable: {native_loader.load_error()}",
+)
+
+
+def test_count_records(tmp_path):
+    path = str(tmp_path / "v.tfrecord")
+    fixtures.write_video_level_fixture(path, num_videos=7, num_classes=10,
+                                       rgb_size=4, audio_size=2)
+    assert native_loader.count_records(path) == 7
+
+
+def test_video_parse_matches_python(tmp_path):
+    path = str(tmp_path / "v.tfrecord")
+    fixtures.write_video_level_fixture(path, num_videos=5, num_classes=30,
+                                       rgb_size=8, audio_size=4)
+    out = native_loader.parse_video_file(
+        path, feature_sizes=(8, 4), num_classes=30
+    )
+    py = list(
+        YT8MAggregatedFeatureReader(num_classes=30, feature_sizes=(8, 4)).read_file(path)
+    )
+    assert out["features"].shape == (5, 12)
+    for i, rec in enumerate(py):
+        np.testing.assert_allclose(out["features"][i], rec["features"], rtol=1e-6)
+        np.testing.assert_array_equal(out["labels"][i], rec["labels"])
+        assert out["video_id"][i] == rec["video_id"]
+
+
+def test_frame_parse_matches_python(tmp_path):
+    path = str(tmp_path / "f.tfrecord")
+    fixtures.write_frame_level_fixture(path, num_videos=6, num_classes=25,
+                                       rgb_size=8, audio_size=4, max_frames=40, seed=5)
+    out = native_loader.parse_frame_file(
+        path, max_frames=16, feature_sizes=(8, 4), num_classes=25
+    )
+    py = list(
+        YT8MFrameFeatureReader(
+            num_classes=25, feature_sizes=(8, 4), max_frames=16
+        ).read_file(path)
+    )
+    assert out["features"].shape == (6, 16, 12)
+    for i, rec in enumerate(py):
+        np.testing.assert_array_equal(out["features"][i], rec["features"])
+        assert out["num_frames"][i] == rec["num_frames"]
+        np.testing.assert_array_equal(out["labels"][i], rec["labels"])
+        assert out["video_id"][i] == rec["video_id"]
+
+
+def test_parse_files_parallel(tmp_path):
+    paths = []
+    for k in range(3):
+        p = str(tmp_path / f"v{k}.tfrecord")
+        fixtures.write_video_level_fixture(p, num_videos=4, num_classes=10,
+                                           rgb_size=4, audio_size=2, seed=k)
+        paths.append(p)
+    outs = list(
+        native_loader.parse_files_parallel(
+            paths, frame_level=False, num_workers=3,
+            feature_sizes=(4, 2), num_classes=10,
+        )
+    )
+    assert len(outs) == 3
+    assert all(o["features"].shape == (4, 6) for o in outs)
+
+
+def test_missing_file_raises():
+    with pytest.raises(IOError):
+        native_loader.count_records("/nonexistent.tfrecord")
+
+
+def test_native_parses_tf_written_file(tmp_path):
+    """Cross-validation #3: TF's writer → native parser."""
+    import tensorflow as tf
+
+    path = str(tmp_path / "tfw.tfrecord")
+    ex = tf.train.Example(
+        features=tf.train.Features(
+            feature={
+                "id": tf.train.Feature(bytes_list=tf.train.BytesList(value=[b"abc"])),
+                "labels": tf.train.Feature(int64_list=tf.train.Int64List(value=[2, 5])),
+                "mean_rgb": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=[1.0, 2.0, 3.0, 4.0])
+                ),
+                "mean_audio": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=[5.0, 6.0])
+                ),
+            }
+        )
+    )
+    with tf.io.TFRecordWriter(path) as w:
+        w.write(ex.SerializeToString())
+    out = native_loader.parse_video_file(path, feature_sizes=(4, 2), num_classes=10)
+    np.testing.assert_allclose(out["features"][0], [1, 2, 3, 4, 5, 6])
+    assert out["labels"][0][2] == 1 and out["labels"][0][5] == 1
+    assert out["video_id"][0] == b"abc"
