@@ -40,7 +40,7 @@ def _sync_floor(jax, jnp, reps=5):
     return best
 
 
-def bench(batch: int = 512, iters: int = 16, use_pallas: bool = True):
+def bench(batch: int = 512, iters: int = 6, use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,7 @@ def main():
                 "unit": "videos/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
                 "step_ms": round(step_s * 1e3, 2),
-                "batch_size": 512,
+                "batch_size": 512, "iters": 6,
             }
         )
     )

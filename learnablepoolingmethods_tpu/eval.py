@@ -22,6 +22,7 @@ from absl import app, flags, logging
 
 from learnablepoolingmethods_tpu import flags as lpm_flags
 from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import observability
 from learnablepoolingmethods_tpu.core import step as step_lib
 from learnablepoolingmethods_tpu.data import pipeline
 from learnablepoolingmethods_tpu.metrics import eval_util
@@ -133,6 +134,7 @@ def evaluation_loop():
     loss_obj = lpm_flags.get_loss_by_name(FLAGS.label_loss)
 
     mngr = ckpt_lib.CheckpointManager(FLAGS.train_dir)
+    writer = observability.MetricWriter(FLAGS.train_dir + "/eval")
     last_step = None
     while True:
         step_num = mngr.latest_step()
@@ -143,6 +145,8 @@ def evaluation_loop():
             info = evaluate_checkpoint(
                 step_num, tree, model, loss_obj, reader, fcfg, mcfg
             )
+            writer.epoch_summary(step_num, info)
+            writer.flush()
             last_step = step_num
             if FLAGS.run_once:
                 return info

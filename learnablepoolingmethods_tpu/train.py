@@ -27,6 +27,7 @@ from absl import app, flags, logging
 
 from learnablepoolingmethods_tpu import flags as lpm_flags
 from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+from learnablepoolingmethods_tpu.core import observability
 from learnablepoolingmethods_tpu.core import optimizers, step as step_lib
 from learnablepoolingmethods_tpu.core.train_state import TrainState
 from learnablepoolingmethods_tpu.data import pipeline
@@ -48,6 +49,9 @@ def define_flags():
         "If set, wipe train_dir and train from scratch (ref: --start_new_model).",
     )
     flags.DEFINE_integer("shuffle_buffer", 1024, "Shuffle buffer size.")
+    flags.DEFINE_string(
+        "profile_dir", "", "If set, capture a jax.profiler trace here."
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -131,8 +135,11 @@ class Trainer:
                 if k != "video_id"
             }
 
+        writer = observability.MetricWriter(self.train_dir)
         log_every = max(FLAGS.log_every_n_steps, 1)
         last_log_time, last_log_step = time.time(), int(state.step)
+        if FLAGS.profile_dir:
+            jax.profiler.start_trace(FLAGS.profile_dir)
         batch = first_batch
         metrics = None
         labels_for_log = None
@@ -166,6 +173,7 @@ class Trainer:
                     task_as_string(), step_num, loss_val, hit1, perr, gap, eps,
                     float(lr_schedule(step_num)),
                 )
+                writer.global_step_summary(step_num, hit1, perr, gap, loss_val, eps)
 
             if step_num % tcfg.save_checkpoint_every_n_steps == 0:
                 mngr.save(step_num, ckpt_lib.state_to_tree(state))
@@ -179,9 +187,13 @@ class Trainer:
             except StopIteration:
                 break
 
+        if FLAGS.profile_dir:
+            jax.profiler.stop_trace()
+            logging.info("%s: profiler trace in %s", task_as_string(), FLAGS.profile_dir)
         final_step = int(state.step)
         mngr.save(final_step, ckpt_lib.state_to_tree(state))
         logging.info("%s: done; final checkpoint at step %d", task_as_string(), final_step)
+        writer.flush()
         mngr.close()
         return state
 
