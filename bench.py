@@ -3,13 +3,20 @@
 Target (BASELINE.json#north_star): ≥ 20,000 videos/sec/chip on TPU v5e for
 the Willow GatedNetVLAD-256 config (300-frame uint8 input, 3862 classes).
 
-Methodology: the axon TPU tunnel adds a ~30 ms fixed host-sync cost per
-dispatched program, so naive per-call timing lies in both directions.  The
-measurement chains ITERS full inference steps inside ONE jit (lax.scan whose
-carry depends on each step's top-k output — no elision possible), subtracts
-an empty-program sync floor, and reports marginal videos/sec.  Dequantize,
-ℓ2-norm, frame sampling, NetVLAD, gating, MoE, and exact top-k are all
-inside the measured program.
+Methodology notes (axon TPU tunnel):
+- A host↔device sync costs ~30 ms through the relay, so per-call timing with
+  one sync per step lies.  The measurement dispatches ITERS steps whose
+  inputs are data-dependent on the previous step's output (num_frames +=
+  0·sum(prev values)) — the device must execute them serially — then syncs
+  once.  Marginal time = (total − one sync floor) / ITERS.
+- Weights are jit ARGUMENTS (prepare_fast_params), never closure constants:
+  closed-over arrays are inlined into the HLO and blow up the remote-compile
+  payload (HTTP 413).
+
+The measured program contains the full inference chain: uint8 frame sampling
+→ dequantize → ℓ2-norm → folded input BN → fused-Pallas NetVLAD (rgb 256 +
+audio 128) → split hidden FC → folded context gating → vocab-on-lanes MoE →
+exact top-20.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,12 +24,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
 
 
 def _sync_floor(jax, jnp, reps=5):
@@ -40,14 +44,17 @@ def _sync_floor(jax, jnp, reps=5):
     return best
 
 
-def bench(batch: int = 512, iters: int = 6, use_pallas: bool = True):
+def bench(batch: int = 512, iters: int = 32, use_pallas: bool = True):
     import jax
     import jax.numpy as jnp
 
     from learnablepoolingmethods_tpu.config import ModelConfig
     from learnablepoolingmethods_tpu.core import step as step_lib
     from learnablepoolingmethods_tpu.models import create_model
-    from learnablepoolingmethods_tpu.ops.fast_infer import build_fast_netvlad_inference
+    from learnablepoolingmethods_tpu.ops.fast_infer import (
+        build_fast_netvlad_inference,
+        prepare_fast_params,
+    )
 
     cfg = ModelConfig(iterations=300, compute_dtype="bfloat16")
     model = create_model("NetVLADModelLF", cfg)
@@ -60,36 +67,31 @@ def bench(batch: int = 512, iters: int = 6, use_pallas: bool = True):
     params, batch_stats = step_lib.init_model_variables(
         model, init_batch, frame_features=True
     )
-    fast = build_fast_netvlad_inference(
-        {"params": params, "batch_stats": batch_stats},
-        cfg,
-        top_k=20,
-        use_pallas=use_pallas,
+    fp = jax.device_put(
+        prepare_fast_params({"params": params, "batch_stats": batch_stats}, cfg)
     )
+    predict = jax.jit(build_fast_netvlad_inference(cfg, top_k=20, use_pallas=use_pallas))
 
     features = jax.device_put(
         rng.integers(0, 256, size=(batch, 300, 1152), dtype=np.uint8)
     )
     num_frames = jax.device_put(rng.integers(10, 301, size=(batch,)).astype(np.int32))
+    key = jax.random.key(0)
 
-    @jax.jit
-    def chained(features, num_frames):
-        def body(carry, i):
-            key = jax.random.fold_in(jax.random.key(0), i + carry.astype(jnp.int32))
-            v, idx = fast(features, num_frames, key)
-            return carry + jnp.sum(v), None
+    def chain(iters):
+        dep = jnp.zeros((), jnp.int32)
+        v = None
+        for _ in range(iters):
+            v, _ = predict(fp, features, num_frames + dep, key)
+            dep = (jnp.sum(v) * 0).astype(jnp.int32)  # device-side serialization
+        return float(jnp.sum(v))  # single sync
 
-        total, _ = jax.lax.scan(
-            body, jnp.float32(0), jnp.arange(iters, dtype=jnp.int32)
-        )
-        return total
-
+    chain(1)  # compile + settle
     floor = _sync_floor(jax, jnp)
-    s = float(chained(features, num_frames))  # compile + run
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        s = float(chained(features, num_frames))
+        chain(iters)
         best = min(best, time.perf_counter() - t0)
     marginal = (best - floor) / iters
     return batch / marginal, marginal
@@ -106,7 +108,7 @@ def main():
                 "unit": "videos/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
                 "step_ms": round(step_s * 1e3, 2),
-                "batch_size": 512, "iters": 6,
+                "batch_size": 512,
             }
         )
     )

@@ -149,3 +149,5 @@ class TrainingConfig:
     export_model_steps: int = 1000              # --export_model_steps
     save_checkpoint_every_n_steps: int = 1000   # replaces save_model_secs
     keep_checkpoint_max: int = 0                # 0 = keep all (ref max_to_keep=0)
+    use_remat: bool = False                     # jax.checkpoint the forward
+                                                # (HBM↔FLOPs trade; rebuild-only)

@@ -79,16 +79,27 @@ def make_train_step(
         step_rng = jax.random.fold_in(rng, state.step)
         sampling_rng, dropout_rng = jax.random.split(step_rng)
 
-        def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+        def forward(params, batch_stats, x, srng, drng, num_frames):
+            variables = {"params": params, "batch_stats": batch_stats}
             kwargs = {"num_frames": num_frames} if num_frames is not None else {}
-            out, mutated = model.apply(
+            return model.apply(
                 variables,
                 x,
                 training=True,
-                rngs={"sampling": sampling_rng, "dropout": dropout_rng},
+                rngs={"sampling": srng, "dropout": drng},
                 mutable=["batch_stats"],
                 **kwargs,
+            )
+
+        if tcfg.use_remat:
+            # rematerialize the forward in the backward pass — trades the
+            # NetVLAD/DBoF activation HBM footprint for recompute FLOPs
+            # (SURVEY.md §7 hard parts: the Willow config is memory-heavy).
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            out, mutated = forward(
+                params, state.batch_stats, x, sampling_rng, dropout_rng, num_frames
             )
             predictions = out["predictions"]
             per_ex = loss_obj.calculate_per_example_loss(

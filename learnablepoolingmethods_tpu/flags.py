@@ -125,6 +125,9 @@ def define_training_flags():
     )
     flags.DEFINE_integer("log_every_n_steps", 10, "Steps between log lines.")
     flags.DEFINE_integer("seed", 0, "PRNG seed.")
+    flags.DEFINE_bool(
+        "use_remat", False, "Rematerialize the forward pass in backward."
+    )
 
 
 def feature_config_from_flags() -> FeatureConfig:
@@ -190,6 +193,7 @@ def training_config_from_flags() -> TrainingConfig:
         export_model_steps=FLAGS.export_model_steps,
         save_checkpoint_every_n_steps=FLAGS.save_checkpoint_every_n_steps,
         keep_checkpoint_max=FLAGS.keep_checkpoint_max,
+        use_remat=FLAGS.use_remat,
     )
 
 

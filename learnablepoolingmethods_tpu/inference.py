@@ -28,6 +28,12 @@ def define_flags():
     flags.DEFINE_string("train_dir", "/tmp/yt8m_model/", "Checkpoint directory.")
     flags.DEFINE_string("output_file", "", "Destination CSV path.")
     flags.DEFINE_integer("top_k", 20, "How many predictions to write per video.")
+    flags.DEFINE_bool(
+        "fast_infer",
+        False,
+        "Use the fused inference path (BN folding + Pallas NetVLAD + bf16); "
+        "NetVLADModelLF only.",
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -60,9 +66,34 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
     params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
-    predict_step = jax.jit(
-        step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
-    )
+    if FLAGS.fast_infer:
+        from learnablepoolingmethods_tpu.ops.fast_infer import (
+            build_fast_netvlad_inference,
+            prepare_fast_params,
+        )
+
+        fp = jax.device_put(
+            prepare_fast_params(
+                {"params": tree["params"], "batch_stats": tree["batch_stats"]}, mcfg
+            ),
+            repl,
+        )
+        fast = build_fast_netvlad_inference(
+            mcfg,
+            top_k=top_k,
+            # Mosaic kernels need real TPU; elsewhere use the identical jnp path
+            use_pallas=jax.default_backend() == "tpu",
+        )
+        fast_jit = jax.jit(fast, static_argnames=("presampled",))
+        rng_key = jax.random.key(0)
+
+        def predict_step(params, batch_stats, feats, nf):
+            return fast_jit(fp, feats, nf, rng_key)
+
+    else:
+        predict_step = jax.jit(
+            step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
+        )
 
     num_examples_processed = 0
     start_time = time.time()

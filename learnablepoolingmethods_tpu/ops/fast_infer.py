@@ -15,20 +15,27 @@ jittable forward with every inference-time algebraic simplification applied:
   sublanes — the reference layout wastes 97% of the VPU, measured 4×);
 - exact on-device top-k.
 
+Usage (weights are ARGUMENTS, never closure constants — closed-over arrays
+become inlined HLO constants, which bloats the compile payload by the full
+weight size):
+
+    fp = prepare_fast_params(variables, mcfg)          # fold + cast, on host
+    fn = build_fast_netvlad_inference(mcfg, top_k=20)  # static config only
+    values, indices = jax.jit(fn)(fp, features_u8, num_frames, rng)
+
 Semantics match ``model.apply`` (training=False) with ``presampled`` inputs —
 see tests/unit/test_fast_infer.py for the parity check.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 
 from learnablepoolingmethods_tpu.config import ModelConfig
-from learnablepoolingmethods_tpu.ops.netvlad_pallas import netvlad_fused
+from learnablepoolingmethods_tpu.ops.netvlad_pallas import netvlad_fused, netvlad_reference
 from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
@@ -41,85 +48,88 @@ def _fold_bn(params_bn: Dict[str, Any], stats_bn: Dict[str, Any]):
     return scale.astype(jnp.float32), bias.astype(jnp.float32)
 
 
-def build_fast_netvlad_inference(
+def prepare_fast_params(
     variables: Dict[str, Any],
     mcfg: ModelConfig,
-    top_k: int = 20,
-    use_pallas: bool = True,
-    pallas_interpret: bool = False,
-    rgb_dim: int = 1024,
     compute_dtype=jnp.bfloat16,
-):
-    """Return fn(features_uint8 [B,F,Dtot], num_frames [B], rng) → (values, indices).
-
-    Requires the Willow-shape config: netvlad_add_batch_norm=True,
-    netvlad_relu=False, gating=True, MoE head.
-    """
+) -> Dict[str, Any]:
+    """Fold BNs and cast weights once, on host → a flat param pytree."""
     if not mcfg.netvlad_add_batch_norm or mcfg.netvlad_relu or not mcfg.gating:
         raise ValueError(
             "fast path supports the Willow config (BN on, relu off, gating on)"
         )
     p = variables["params"]
     s = variables["batch_stats"]
-    bf16 = compute_dtype  # bf16 in production; fp32 for parity tests
+    ct = compute_dtype
     k_rgb = mcfg.netvlad_cluster_size
-    k_aud = max(k_rgb // 2, 1)
-
-    # ---- fold everything on host once ----
-    in_scale, in_bias = _fold_bn(p["input_bn"], s["input_bn"])
 
     def vlad_consts(name):
         scale, bias = _fold_bn(p[name]["cluster_bn"], s[name]["cluster_bn"])
         return {
-            "cluster": p[name]["cluster_weights"].astype(bf16),
+            "cluster": p[name]["cluster_weights"].astype(ct),
             "scale": scale,
             "bias": bias,
-            "c2": p[name]["cluster_weights2"].astype(jnp.float32),
+            "c2": p[name]["cluster_weights2"].astype(jnp.float32).reshape(
+                p[name]["cluster_weights"].shape
+            ),
         }
 
     rgb = vlad_consts("NetVLAD_0")
     aud = vlad_consts("NetVLAD_1")
-
     d_rgb = rgb["cluster"].shape[0]
-    d_aud = aud["cluster"].shape[0]
-    hidden_w = p["hidden1_weights"]
-    h_size = hidden_w.shape[-1]
-    w_rgb = hidden_w[: d_rgb * k_rgb].astype(bf16)
-    w_aud = hidden_w[d_rgb * k_rgb :].astype(bf16)
-    hidden_b = p["hidden1_biases"].astype(jnp.float32)
 
-    gate_w = p["gating"]["gating_weights"].astype(bf16)
+    in_scale, in_bias = _fold_bn(p["input_bn"], s["input_bn"])
     g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
-
+    hidden_w = p["hidden1_weights"]
     moe = p["MoeModel_0"]
-    gates_kernel = moe["gates_kernel"].astype(bf16)       # [H, (M+1)·V]
-    experts_kernel = moe["experts_kernel"].astype(bf16)   # [H, M·V]
-    experts_bias = moe["experts_bias"].astype(jnp.float32)
+    return {
+        "in_scale": in_scale,
+        "in_bias": in_bias,
+        "rgb": rgb,
+        "aud": aud,
+        "w_rgb": hidden_w[: d_rgb * k_rgb].astype(ct),
+        "w_aud": hidden_w[d_rgb * k_rgb :].astype(ct),
+        "hidden_b": p["hidden1_biases"].astype(jnp.float32),
+        "gate_w": p["gating"]["gating_weights"].astype(ct),
+        "g_scale": g_scale,
+        "g_bias": g_bias,
+        "gates_kernel": moe["gates_kernel"].astype(ct),       # [H, (M+1)·V]
+        "experts_kernel": moe["experts_kernel"].astype(ct),   # [H, M·V]
+        "experts_bias": moe["experts_bias"].astype(jnp.float32),
+    }
+
+
+def build_fast_netvlad_inference(
+    mcfg: ModelConfig,
+    top_k: int = 20,
+    use_pallas: bool = True,
+    pallas_interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+):
+    """Return fn(fast_params, features, num_frames, rng, presampled=False)
+    → (values [B,k], indices [B,k]).  Closure holds ONLY static config."""
     m = mcfg.moe_num_mixtures
     v = mcfg.vocab_size
     iterations = mcfg.iterations
+    ct = compute_dtype
 
     def _netvlad(x, consts, d, k):
         if use_pallas:
             out = netvlad_fused(
-                x,
-                consts["cluster"],
-                consts["scale"],
-                consts["bias"],
-                consts["c2"],
-                interpret=pallas_interpret,
+                x, consts["cluster"], consts["scale"], consts["bias"],
+                consts["c2"], interpret=pallas_interpret,
             )
-            return out.reshape(-1, d * k)
-        # jnp fallback (identical math)
-        from learnablepoolingmethods_tpu.ops.netvlad_pallas import netvlad_reference
-
-        out = netvlad_reference(
-            x, consts["cluster"], consts["scale"], consts["bias"], consts["c2"]
-        )
+        else:
+            out = netvlad_reference(
+                x, consts["cluster"], consts["scale"], consts["bias"], consts["c2"]
+            )
         return out.reshape(-1, d * k)
 
-    def forward(features, num_frames, rng, presampled: bool = False):
+    def forward(fp, features, num_frames, rng, presampled: bool = False):
         b = features.shape[0]
+        d_rgb, k_rgb = fp["rgb"]["cluster"].shape
+        d_aud, k_aud = fp["aud"]["cluster"].shape
+
         if not presampled:
             nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), features.shape[1])
             u = jax.random.uniform(rng, (b, iterations), dtype=jnp.float32)
@@ -129,33 +139,36 @@ def build_fast_netvlad_inference(
             )
             features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
 
-        x = dequantize(features, dtype=bf16) if features.dtype == jnp.uint8 else features.astype(bf16)
-        x = l2_normalize(x, axis=-1)
         x = (
-            x.astype(jnp.float32) * in_scale + in_bias
-        ).astype(bf16)  # folded input BN
+            dequantize(features, dtype=ct)
+            if features.dtype == jnp.uint8
+            else features.astype(ct)
+        )
+        x = l2_normalize(x, axis=-1)
+        x = (x.astype(jnp.float32) * fp["in_scale"] + fp["in_bias"]).astype(ct)
 
-        vlad_rgb = _netvlad(x[:, :, :d_rgb], rgb, d_rgb, k_rgb)
-        vlad_aud = _netvlad(x[:, :, d_rgb:], aud, d_aud, k_aud)
+        vlad_rgb = _netvlad(x[:, :, :d_rgb], fp["rgb"], d_rgb, k_rgb)
+        vlad_aud = _netvlad(x[:, :, d_rgb:], fp["aud"], d_aud, k_aud)
 
         h = (
-            jnp.matmul(vlad_rgb, w_rgb, preferred_element_type=jnp.float32)
-            + jnp.matmul(vlad_aud, w_aud, preferred_element_type=jnp.float32)
-            + hidden_b
+            jnp.matmul(vlad_rgb, fp["w_rgb"], preferred_element_type=jnp.float32)
+            + jnp.matmul(vlad_aud, fp["w_aud"], preferred_element_type=jnp.float32)
+            + fp["hidden_b"]
         )
 
         gates = (
-            jnp.matmul(h.astype(bf16), gate_w, preferred_element_type=jnp.float32)
-            * g_scale
-            + g_bias
+            jnp.matmul(h.astype(ct), fp["gate_w"], preferred_element_type=jnp.float32)
+            * fp["g_scale"]
+            + fp["g_bias"]
         )
-        h = (h * jax.nn.sigmoid(gates)).astype(bf16)
+        h = (h * jax.nn.sigmoid(gates)).astype(ct)
 
-        ga = jnp.matmul(h, gates_kernel, preferred_element_type=jnp.float32)
-        ga = ga.reshape(b, m + 1, v)
+        ga = jnp.matmul(
+            h, fp["gates_kernel"], preferred_element_type=jnp.float32
+        ).reshape(b, m + 1, v)
         ea = (
-            jnp.matmul(h, experts_kernel, preferred_element_type=jnp.float32)
-            + experts_bias
+            jnp.matmul(h, fp["experts_kernel"], preferred_element_type=jnp.float32)
+            + fp["experts_bias"]
         ).reshape(b, m, v)
         probs = jnp.sum(
             jax.nn.softmax(ga, axis=1)[:, :m] * jax.nn.sigmoid(ea), axis=1

@@ -163,3 +163,21 @@ def test_frame_model_shards_over_mesh(rng):
     assert np.isfinite(float(m["loss"]))
     state, m2 = step_fn(state, batch_s, rng_r)
     assert float(m2["loss"]) != float(m["loss"])  # parameters moved
+
+
+def test_remat_step_equals_plain_step(rng):
+    """jax.checkpoint'd train step must produce identical parameters."""
+    import dataclasses
+
+    model, state, batch = _make_state_and_batch(rng)
+    loss_obj = losses.CrossEntropyLoss()
+    plain = jax.jit(step_lib.make_train_step(model, loss_obj, TCFG, MCFG, False))
+    remat_cfg = dataclasses.replace(TCFG, use_remat=True)
+    remat = jax.jit(step_lib.make_train_step(model, loss_obj, remat_cfg, MCFG, False))
+
+    s1, m1 = plain(state, batch, jax.random.key(0))
+    s2, m2 = remat(state, batch, jax.random.key(0))
+    chex.assert_trees_all_close(
+        jax.device_get(s1.params), jax.device_get(s2.params), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)

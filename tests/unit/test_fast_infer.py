@@ -7,7 +7,10 @@ import numpy as np
 from learnablepoolingmethods_tpu.config import ModelConfig
 from learnablepoolingmethods_tpu.core import step as step_lib
 from learnablepoolingmethods_tpu.models import create_model
-from learnablepoolingmethods_tpu.ops.fast_infer import build_fast_netvlad_inference
+from learnablepoolingmethods_tpu.ops.fast_infer import (
+    build_fast_netvlad_inference,
+    prepare_fast_params,
+)
 from learnablepoolingmethods_tpu.ops.netvlad_pallas import netvlad_fused, netvlad_reference
 
 CFG = ModelConfig(
@@ -50,8 +53,8 @@ def test_fast_path_matches_model_fp32(rng):
         variables, x, num_frames=jnp.asarray(nf), training=False
     )["predictions"]
 
+    fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)
     fast = build_fast_netvlad_inference(
-        variables,
         CFG,
         top_k=20,
         use_pallas=True,
@@ -59,7 +62,7 @@ def test_fast_path_matches_model_fp32(rng):
         compute_dtype=jnp.float32,
     )
     values, indices = fast(
-        jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True
+        fp, jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True
     )
     # top-20 of 20 classes = full ordering; scatter back and compare
     got = np.zeros((2, 20), np.float32)
@@ -69,15 +72,15 @@ def test_fast_path_matches_model_fp32(rng):
 
 def test_fast_path_jnp_fallback_matches(rng):
     model, variables, feats_u8, nf = _setup(rng)
+    fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)
     fast_k = build_fast_netvlad_inference(
-        variables, CFG, use_pallas=True, pallas_interpret=True,
-        compute_dtype=jnp.float32,
+        CFG, use_pallas=True, pallas_interpret=True, compute_dtype=jnp.float32,
     )
     fast_j = build_fast_netvlad_inference(
-        variables, CFG, use_pallas=False, compute_dtype=jnp.float32
+        CFG, use_pallas=False, compute_dtype=jnp.float32
     )
-    v1, i1 = fast_k(jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True)
-    v2, i2 = fast_j(jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True)
+    v1, i1 = fast_k(fp, jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True)
+    v2, i2 = fast_j(fp, jnp.asarray(feats_u8), jnp.asarray(nf), jax.random.key(0), presampled=True)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
 
