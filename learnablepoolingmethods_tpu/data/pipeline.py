@@ -55,6 +55,8 @@ def batch_iterator(
     shuffle_buffer: int = 1024,
     seed: int = 0,
     pad_final_batch: bool = True,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield batches: {video_id, features, labels, (num_frames), weights}.
 
@@ -62,10 +64,22 @@ def batch_iterator(
     so losses/metrics can mask them while shapes stay static.
     ``num_epochs=None`` streams forever (ref: train.py epoch-limited
     string_input_producer; eval uses num_epochs=1).
+
+    Multi-host: pass ``shard_index=jax.process_index()`` /
+    ``num_shards=jax.process_count()`` — each host reads a disjoint
+    file-level shard (the rebuild's replacement for the reference's
+    per-worker input split in distributed training).
     """
     files = sorted(_glob.glob(data_pattern))
     if not files:
         raise IOError(f"Unable to find input files. data_pattern='{data_pattern}'")
+    if num_shards > 1:
+        files = files[shard_index::num_shards]
+        if not files:
+            raise IOError(
+                f"shard {shard_index}/{num_shards} got no files "
+                f"(pattern matched fewer files than shards)"
+            )
     rng = random.Random(seed)
 
     epoch = 0

@@ -93,7 +93,9 @@ class Trainer:
             num_epochs=tcfg.num_epochs if tcfg.num_epochs > 0 else None,
             shuffle=True,
             shuffle_buffer=FLAGS.shuffle_buffer,
-            seed=FLAGS.seed,
+            seed=FLAGS.seed + jax.process_index(),
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
         )
         try:
             first_batch = next(batches)

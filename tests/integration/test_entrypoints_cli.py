@@ -1,0 +1,97 @@
+"""Subprocess smoke of the flag-compatible CLIs: train → resume → eval → inference.
+
+Mirrors the reference user journey (SURVEY.md §3.1–3.3) end-to-end on tiny
+synthetic fixtures with the 8-virtual-CPU-device mesh.
+"""
+
+import csv
+import os
+import subprocess
+import sys
+
+import pytest
+
+from learnablepoolingmethods_tpu.data import fixtures
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run(module, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, "-m", module, *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,  # 1 shared CPU core; generous when the TPU bench runs too
+    )
+    assert proc.returncode == 0, f"{module} failed:\n{proc.stderr[-3000:]}"
+    return proc.stderr  # absl logs to stderr
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    fixtures.make_learnable_synthetic_video_level(
+        str(d / "train.tfrecord"), num_videos=64, num_classes=16,
+        rgb_size=8, audio_size=4,
+    )
+    return d
+
+
+COMMON = [
+    "--model=LogisticModel",
+    "--feature_names=mean_rgb,mean_audio",
+    "--feature_sizes=8,4",
+    "--num_classes=16",
+    "--batch_size=16",
+]
+
+
+def test_cli_train_eval_inference_roundtrip(workdir):
+    train_dir = str(workdir / "td")
+    data = str(workdir / "train.tfrecord")
+
+    # train from scratch
+    log = _run(
+        "learnablepoolingmethods_tpu.train", *COMMON,
+        f"--train_data_pattern={data}", f"--train_dir={train_dir}",
+        "--num_epochs=2", "--start_new_model", "--export_model_steps=0",
+        "--save_checkpoint_every_n_steps=4", "--log_every_n_steps=2",
+    )
+    assert "training step" in log and "done; final checkpoint" in log
+
+    # resume (no --start_new_model) — must restore, not restart
+    log = _run(
+        "learnablepoolingmethods_tpu.train", *COMMON,
+        f"--train_data_pattern={data}", f"--train_dir={train_dir}",
+        "--num_epochs=1", "--export_model_steps=0",
+        "--save_checkpoint_every_n_steps=4",
+    )
+    assert "restored checkpoint at step" in log
+
+    # eval --run_once
+    log = _run(
+        "learnablepoolingmethods_tpu.eval", *COMMON,
+        f"--eval_data_pattern={data}", f"--train_dir={train_dir}", "--run_once",
+    )
+    assert "epoch/eval number" in log and "GAP:" in log
+
+    # inference → Kaggle CSV
+    out_csv = str(workdir / "preds.csv")
+    _run(
+        "learnablepoolingmethods_tpu.inference", *COMMON,
+        f"--input_data_pattern={data}", f"--train_dir={train_dir}",
+        f"--output_file={out_csv}", "--top_k=3",
+    )
+    with open(out_csv) as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["VideoId", "LabelConfidencePairs"]
+    assert len(rows) == 65  # header + 64 videos
+    vid, pairs = rows[1]
+    parts = pairs.split(" ")
+    assert len(parts) == 6  # 3 (index, score) pairs
+    assert all(0.0 <= float(parts[i]) <= 1.0 for i in range(1, 6, 2))
