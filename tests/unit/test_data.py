@@ -245,3 +245,49 @@ def test_native_batch_iterator_matches_python(tmp_path):
         np.testing.assert_array_equal(pb["num_frames"], nb["num_frames"])
         np.testing.assert_array_equal(pb["weights"], nb["weights"])
         assert pb["video_id"] == nb["video_id"]
+
+
+def test_grain_pipeline_matches_streaming(tmp_path):
+    """grain DataLoader path ≡ streaming reader on the same frame-level file."""
+    from learnablepoolingmethods_tpu.data import grain_pipeline
+
+    path = str(tmp_path / "g.tfrecord")
+    fixtures.write_frame_level_fixture(path, num_videos=7, num_classes=15,
+                                       rgb_size=8, audio_size=4, max_frames=10, seed=6)
+    reader = YT8MFrameFeatureReader(num_classes=15, feature_sizes=(8, 4), max_frames=10)
+    stream = [r for r in reader.read_file(path)]
+
+    src = grain_pipeline.TFRecordRandomAccessSource(
+        path, frame_level=True, feature_sizes=(8, 4), num_classes=15, max_frames=10
+    )
+    assert len(src) == 7
+    for i, want in enumerate(stream):
+        got = src[i]
+        np.testing.assert_array_equal(got["features"], want["features"])
+        assert got["num_frames"] == want["num_frames"]
+        np.testing.assert_array_equal(got["labels"], want["labels"])
+        assert got["video_id"] == want["video_id"]
+
+    batches = list(
+        grain_pipeline.grain_batch_iterator(
+            path, batch_size=3, frame_level=True, feature_sizes=(8, 4),
+            num_classes=15, max_frames=10, shard_by_process=False,
+        )
+    )
+    assert sum(b["features"].shape[0] for b in batches) == 7
+    np.testing.assert_array_equal(batches[0]["features"][0], stream[0]["features"])
+
+
+def test_grain_pipeline_shuffles_deterministically(tmp_path):
+    from learnablepoolingmethods_tpu.data import grain_pipeline
+
+    path = str(tmp_path / "g2.tfrecord")
+    fixtures.write_video_level_fixture(path, num_videos=12, num_classes=10,
+                                       rgb_size=4, audio_size=2)
+    kw = dict(batch_size=4, frame_level=False, feature_sizes=(4, 2),
+              num_classes=10, shuffle=True, seed=5, shard_by_process=False)
+    a = [b["video_id"] for b in grain_pipeline.grain_batch_iterator(path, **kw)]
+    b = [b["video_id"] for b in grain_pipeline.grain_batch_iterator(path, **kw)]
+    assert a == b  # same seed → same order
+    flat = [v for batch in a for v in batch]
+    assert sorted(flat) != flat  # actually shuffled
