@@ -307,9 +307,6 @@ class _LoupeLFBase(_FrameModelBase):
         frames = self._sample_frames(model_input, num_frames, cfg.iterations)
         max_frames = frames.shape[1]
         feature_size = frames.shape[2]
-        if feature_size not in (1152, 1024, 128):
-            # arbitrary feature splits are supported; 1152 = 1024 rgb + 128 audio
-            pass
         add_bn = self._add_bn()
         if add_bn:
             frames = self._input_bn(frames, training)
