@@ -52,6 +52,12 @@ def define_flags():
     flags.DEFINE_string(
         "profile_dir", "", "If set, capture a jax.profiler trace here."
     )
+    flags.DEFINE_bool(
+        "use_native_reader",
+        False,
+        "Parse TFRecords with the C++ loader on a thread pool "
+        "(--num_readers workers) instead of the Python reader.",
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -86,17 +92,33 @@ class Trainer:
             devices[0].platform,
         )
 
-        batches = pipeline.batch_iterator(
-            reader,
-            FLAGS.train_data_pattern,
-            tcfg.batch_size,
-            num_epochs=tcfg.num_epochs if tcfg.num_epochs > 0 else None,
-            shuffle=True,
-            shuffle_buffer=FLAGS.shuffle_buffer,
-            seed=FLAGS.seed + jax.process_index(),
-            shard_index=jax.process_index(),
-            num_shards=jax.process_count(),
-        )
+        num_epochs = tcfg.num_epochs if tcfg.num_epochs > 0 else None
+        if FLAGS.use_native_reader:
+            batches = pipeline.native_batch_iterator(
+                FLAGS.train_data_pattern,
+                tcfg.batch_size,
+                frame_level=fcfg.frame_features,
+                feature_sizes=fcfg.feature_sizes,
+                feature_names=fcfg.feature_names,
+                num_classes=mcfg.vocab_size,
+                max_frames=fcfg.max_frames,
+                num_epochs=num_epochs,
+                shuffle=True,
+                seed=FLAGS.seed + jax.process_index(),
+                num_workers=FLAGS.num_readers,
+            )
+        else:
+            batches = pipeline.batch_iterator(
+                reader,
+                FLAGS.train_data_pattern,
+                tcfg.batch_size,
+                num_epochs=num_epochs,
+                shuffle=True,
+                shuffle_buffer=FLAGS.shuffle_buffer,
+                seed=FLAGS.seed + jax.process_index(),
+                shard_index=jax.process_index(),
+                num_shards=jax.process_count(),
+            )
         try:
             first_batch = next(batches)
         except StopIteration:
