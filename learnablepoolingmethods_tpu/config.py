@@ -151,3 +151,6 @@ class TrainingConfig:
     keep_checkpoint_max: int = 0                # 0 = keep all (ref max_to_keep=0)
     use_remat: bool = False                     # jax.checkpoint the forward
                                                 # (HBM↔FLOPs trade; rebuild-only)
+    adam_bf16_momentum: bool = False            # store Adam's first moment in
+                                                # bf16 — the update is HBM-bound
+                                                # (~37% of the Willow train step)

@@ -26,6 +26,8 @@ _OPTIMIZERS = {
     "MomentumOptimizer": lambda lr: optax.sgd(lr, momentum=0.9),
 }
 
+_ADAM_BF16 = lambda lr: optax.adam(lr, mu_dtype=jnp.bfloat16)
+
 
 def clip_gradient_norms(max_norm: float) -> optax.GradientTransformation:
     """Per-leaf norm clipping (ref: utils.py#clip_gradient_norms /
@@ -70,6 +72,8 @@ def create_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
         raise ValueError(
             f"Unknown optimizer {cfg.optimizer!r}. Known: {sorted(_OPTIMIZERS)}"
         ) from None
+    if cfg.optimizer == "AdamOptimizer" and getattr(cfg, "adam_bf16_momentum", False):
+        opt_fn = _ADAM_BF16
     schedule = learning_rate_schedule(cfg)
     chain = []
     if cfg.clip_gradient_norm > 0:

@@ -128,6 +128,9 @@ def define_training_flags():
     flags.DEFINE_bool(
         "use_remat", False, "Rematerialize the forward pass in backward."
     )
+    flags.DEFINE_bool(
+        "adam_bf16_momentum", False, "Store Adam's first moment in bfloat16."
+    )
 
 
 def feature_config_from_flags() -> FeatureConfig:
@@ -194,6 +197,7 @@ def training_config_from_flags() -> TrainingConfig:
         save_checkpoint_every_n_steps=FLAGS.save_checkpoint_every_n_steps,
         keep_checkpoint_max=FLAGS.keep_checkpoint_max,
         use_remat=FLAGS.use_remat,
+        adam_bf16_momentum=FLAGS.adam_bf16_momentum,
     )
 
 
