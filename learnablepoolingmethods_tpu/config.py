@@ -120,6 +120,12 @@ class ModelConfig:
     # --- composition ---
     video_level_classifier_model: str = "MoeModel"  # --video_level_classifier_model
 
+    # --- training kernels (rebuild-only) ---
+    # Route NetVLAD's softmax→aggregate→normalize through the custom-VJP
+    # Pallas op (ops/netvlad_train.py): fwd+bwd in VMEM with recompute
+    # instead of XLA materializing [B,D,K] autodiff intermediates.
+    fused_train_aggregation: bool = False
+
     # --- input-stage control (rebuild-only) ---
     # When True, frame sampling already happened in the input stage (uint8
     # gather before dequantize — mathematically identical to the reference's

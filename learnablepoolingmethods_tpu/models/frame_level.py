@@ -357,6 +357,7 @@ class NetVLADModelLF(_LoupeLFBase):
             max_frames=max_frames,
             cluster_size=cluster_size,
             add_batch_norm=cfg.netvlad_add_batch_norm,
+            fused_aggregation=cfg.fused_train_aggregation,
             dtype=jnp.dtype(cfg.compute_dtype),
             param_dtype=jnp.dtype(cfg.param_dtype),
         )

@@ -56,6 +56,11 @@ class NetVLAD(BaseModule):
     max_frames: int
     cluster_size: int
     add_batch_norm: bool = True
+    # Use the custom-VJP fused aggregation kernel (ops/netvlad_train.py) for
+    # everything after the assignment BN — forward AND backward run in VMEM
+    # with recompute instead of materializing [B,D,K] autodiff intermediates.
+    fused_aggregation: bool = False
+    fused_interpret: bool = False  # interpret-mode kernels (CPU tests)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -85,12 +90,27 @@ class NetVLAD(BaseModule):
                 "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
             )
             activation = activation + cluster_biases
-        activation = nn.softmax(activation, axis=-1)  # [B, F, K]
 
-        a_sum = jnp.sum(activation, axis=1, keepdims=True)  # [B, 1, K]
         cluster_weights2 = self.param(
             "cluster_weights2", _normal_init(1.0 / jnp.sqrt(d)), (1, d, k), self.param_dtype
         )
+
+        if self.fused_aggregation:
+            from learnablepoolingmethods_tpu.ops.netvlad_train import (
+                netvlad_aggregate,
+            )
+
+            vlad = netvlad_aggregate(
+                x,
+                activation,  # post-BN assignment logits
+                cluster_weights2.reshape(d, k),
+                self.fused_interpret,
+            )
+            return vlad.reshape(-1, d * k).astype(self.dtype)
+
+        activation = nn.softmax(activation, axis=-1)  # [B, F, K]
+
+        a_sum = jnp.sum(activation, axis=1, keepdims=True)  # [B, 1, K]
         a = a_sum * cluster_weights2.astype(activation.dtype)  # [B, D, K]
 
         vlad = jnp.einsum(
