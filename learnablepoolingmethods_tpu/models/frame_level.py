@@ -387,6 +387,7 @@ class NetRVLADModelLF(_LoupeLFBase):
             max_frames=max_frames,
             cluster_size=cluster_size,
             add_batch_norm=cfg.netvlad_add_batch_norm,
+            fused_aggregation=cfg.fused_train_aggregation,
             dtype=jnp.dtype(cfg.compute_dtype),
             param_dtype=jnp.dtype(cfg.param_dtype),
         )

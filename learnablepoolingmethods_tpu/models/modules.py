@@ -131,6 +131,8 @@ class NetRVLAD(BaseModule):
     max_frames: int
     cluster_size: int
     add_batch_norm: bool = True
+    fused_aggregation: bool = False  # netvlad_aggregate with C₂ = 0
+    fused_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -160,6 +162,21 @@ class NetRVLAD(BaseModule):
                 "cluster_biases", _normal_init(1.0 / jnp.sqrt(d)), (k,), self.param_dtype
             )
             activation = activation + cluster_biases
+
+        if self.fused_aggregation:
+            from learnablepoolingmethods_tpu.ops.netvlad_train import (
+                netvlad_aggregate,
+            )
+
+            # RVLAD ≡ NetVLAD aggregation with zero centers (no residual)
+            vlad = netvlad_aggregate(
+                x,
+                activation,
+                jnp.zeros((d, k), jnp.float32),
+                self.fused_interpret,
+            )
+            return vlad.reshape(-1, d * k).astype(self.dtype)
+
         activation = nn.softmax(activation, axis=-1)
 
         vlad = jnp.einsum(

@@ -79,3 +79,19 @@ def test_module_fused_flag_matches_plain(rng):
     gp = loss(plain)
     gf = loss(fused)
     chex.assert_trees_all_close(gf, gp, atol=3e-5)
+
+
+def test_rvlad_module_fused_flag_matches_plain(rng):
+    """NetRVLAD(fused_aggregation=True) ≡ plain module (zero-center path)."""
+    from learnablepoolingmethods_tpu.models.modules import NetRVLAD
+
+    x = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+    plain = NetRVLAD(feature_size=D, max_frames=F, cluster_size=K)
+    fused = NetRVLAD(
+        feature_size=D, max_frames=F, cluster_size=K,
+        fused_aggregation=True, fused_interpret=True,
+    )
+    variables = plain.init(jax.random.key(0), x, training=False)
+    out_p = plain.apply(variables, x, training=False)
+    out_f = fused.apply(variables, x, training=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), atol=1e-5)
