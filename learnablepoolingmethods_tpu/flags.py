@@ -91,6 +91,11 @@ def define_model_flags():
     flags.DEFINE_string(
         "compute_dtype", "float32", "Model compute dtype: float32|bfloat16."
     )
+    flags.DEFINE_bool(
+        "fused_train_aggregation",
+        False,
+        "Custom-VJP Pallas aggregation for NetVLAD/NetRVLAD training (TPU).",
+    )
 
 
 def define_training_flags():
@@ -178,6 +183,7 @@ def model_config_from_flags() -> ModelConfig:
         attention_dropout=FLAGS.attention_dropout,
         video_level_classifier_model=FLAGS.video_level_classifier_model,
         compute_dtype=FLAGS.compute_dtype,
+        fused_train_aggregation=FLAGS.fused_train_aggregation,
     )
 
 
