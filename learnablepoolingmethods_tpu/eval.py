@@ -17,6 +17,7 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from absl import app, flags, logging
 
@@ -40,6 +41,12 @@ def define_flags():
     flags.DEFINE_bool(
         "fast_eval", False, "Use on-device metric partials (no per-class APs)."
     )
+    flags.DEFINE_bool(
+        "fast_forward",
+        False,
+        "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
+        "model — NetVLADModelLF (Willow shape) only.",
+    )
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
     )
@@ -55,11 +62,47 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
     params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
-    eval_step = jax.jit(
-        step_lib.make_eval_step(
-            model, loss_obj, mcfg, fcfg.frame_features, top_k=FLAGS.top_k
+    if FLAGS.fast_forward:
+        from learnablepoolingmethods_tpu.ops import metrics_ops
+        from learnablepoolingmethods_tpu.ops.fast_infer import (
+            build_fast_netvlad_inference,
+            prepare_fast_params,
         )
-    )
+
+        fp = jax.device_put(
+            prepare_fast_params(
+                {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+                mcfg,
+            ),
+            repl,
+        )
+        fast_fwd = build_fast_netvlad_inference(
+            mcfg,
+            use_pallas=jax.default_backend() == "tpu",
+            return_probs=True,
+        )
+        rng_key = jax.random.key(0)
+
+        def _fast_eval_step(params, batch_stats, batch):
+            predictions = fast_fwd(
+                fp, batch["features"], batch["num_frames"], rng_key
+            ).astype(jnp.float32)
+            labels = batch["labels"].astype(jnp.float32)
+            weights = batch["weights"]
+            per_ex = loss_obj.calculate_per_example_loss(predictions, labels)
+            loss = step_lib.weighted_mean(per_ex, weights)
+            partials = metrics_ops.batch_topk_partials(
+                predictions, labels, weights, top_k=FLAGS.top_k
+            )
+            return {"predictions": predictions, "loss": loss, "partials": partials}
+
+        eval_step = jax.jit(_fast_eval_step)
+    else:
+        eval_step = jax.jit(
+            step_lib.make_eval_step(
+                model, loss_obj, mcfg, fcfg.frame_features, top_k=FLAGS.top_k
+            )
+        )
 
     use_fast = FLAGS.fast_eval
     if use_fast:

@@ -106,9 +106,12 @@ def build_fast_netvlad_inference(
     pallas_interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     fuse_frontend: bool = True,
+    return_probs: bool = False,
 ):
     """Return fn(fast_params, features, num_frames, rng, presampled=False)
-    → (values [B,k], indices [B,k]).  Closure holds ONLY static config.
+    → (values [B,k], indices [B,k]) — or the full probability matrix
+    [B, V] when ``return_probs`` (the eval path feeds it to metric partials).
+    Closure holds ONLY static config.
 
     ``fuse_frontend`` (TPU, uint8, unsampled input): run dequantize + ℓ2-norm
     + input BN + one-hot-matmul sampling + both NetVLADs as ONE Pallas kernel
@@ -205,6 +208,8 @@ def build_fast_netvlad_inference(
         probs = jnp.sum(
             jax.nn.softmax(ga, axis=1)[:, :m] * jax.nn.sigmoid(ea), axis=1
         )
+        if return_probs:
+            return probs
         values, indices = jax.lax.top_k(probs, min(top_k, v))
         return values, indices
 
