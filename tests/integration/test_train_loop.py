@@ -116,3 +116,30 @@ def test_export_serve_matches_predict(synthetic_path, tmp_path):
     v2, i2 = predict(jax.device_get(state.params), jax.device_get(state.batch_stats), feats)
     np.testing.assert_array_equal(idx, np.asarray(i2))
     np.testing.assert_allclose(vals, np.asarray(v2), rtol=1e-6)
+
+
+def test_export_with_stablehlo(synthetic_path, tmp_path):
+    """Best-effort jax.export artifact: serialize + deserialize + call."""
+    from learnablepoolingmethods_tpu.export_model import export_model
+    import os
+
+    state, model, _, _ = _train(synthetic_path, num_epochs=1)
+    fcfg = FeatureConfig(feature_names=("mean_rgb", "mean_audio"), feature_sizes=(16, 4))
+    export_dir = str(tmp_path / "hlo_export")
+    export_model(
+        export_dir, "LogisticModel", MCFG, fcfg,
+        jax.device_get(state.params), jax.device_get(state.batch_stats),
+        top_k=5, with_stablehlo=True,
+    )
+    hlo_path = os.path.join(export_dir, "stablehlo.bin")
+    err_path = os.path.join(export_dir, "stablehlo_error.txt")
+    assert os.path.exists(hlo_path) or os.path.exists(err_path)
+    if os.path.exists(hlo_path):
+        from jax import export as jax_export
+
+        exported = jax_export.deserialize(open(hlo_path, "rb").read())
+        feats = np.zeros((1, 20), np.float32)
+        vals, idxs = exported.call(
+            jax.device_get(state.params), jax.device_get(state.batch_stats), feats
+        )
+        assert np.asarray(vals).shape == (1, 5)

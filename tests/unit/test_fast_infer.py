@@ -119,3 +119,39 @@ def test_netvlad_module_vs_kernel_reference(rng):
         x, p["cluster_weights"], scale, bias, p["cluster_weights2"]
     ).reshape(b, d * k)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fast_path_fused_frontend_branch(rng):
+    """The fuse_frontend branch (bf16 + uint8 + unsampled) in interpret mode."""
+    model, variables, feats_u8, nf = _setup(rng)
+    fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.bfloat16)
+    fused = build_fast_netvlad_inference(
+        CFG, top_k=5, use_pallas=True, pallas_interpret=True,
+        compute_dtype=jnp.bfloat16, fuse_frontend=True,
+    )
+    staged = build_fast_netvlad_inference(
+        CFG, top_k=5, use_pallas=True, pallas_interpret=True,
+        compute_dtype=jnp.bfloat16, fuse_frontend=False,
+    )
+    key = jax.random.key(3)
+    v1, i1 = fused(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key)
+    v2, i2 = staged(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key)
+    # identical sampling indices (same key, same derivation) → same outputs
+    # up to bf16 rounding between the two computation orders
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=3e-2)
+
+
+def test_fast_path_return_probs(rng):
+    model, variables, feats_u8, nf = _setup(rng)
+    fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)
+    f_probs = build_fast_netvlad_inference(
+        CFG, use_pallas=False, compute_dtype=jnp.float32, return_probs=True
+    )
+    f_topk = build_fast_netvlad_inference(
+        CFG, top_k=20, use_pallas=False, compute_dtype=jnp.float32
+    )
+    key = jax.random.key(0)
+    probs = f_probs(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key, presampled=True)
+    vals, idxs = f_topk(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key, presampled=True)
+    got = np.take_along_axis(np.asarray(probs), np.asarray(idxs), axis=1)
+    np.testing.assert_allclose(got, np.asarray(vals), atol=1e-6)
