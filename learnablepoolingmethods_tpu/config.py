@@ -76,6 +76,8 @@ class ModelConfig:
     moe_num_mixtures: int = 2           # --moe_num_mixtures
     moe_l2: float = 1e-8                # --moe_l2
     l2_penalty: float = 1e-8            # slim l2_regularizer default in heads
+    l2_reg_all_kernels: bool = False    # rebuild-only: L2 every matrix param
+                                        # (reference regularizes heads only)
 
     # --- frame sampling (ref: model_utils.py, frame_level_models.py) ---
     iterations: int = 30                # --iterations (DBoF frame samples)

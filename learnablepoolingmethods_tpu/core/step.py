@@ -42,13 +42,36 @@ def preprocess_input(features: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return l2_normalize(x, axis=-1)
 
 
-def regularization_loss(params, l2_penalty: float) -> jnp.ndarray:
-    """Global slim-style L2: l2_penalty · ½·Σ‖w‖² over matrix/kernel params."""
+_HEAD_KERNEL_NAMES = ("gates_kernel", "experts_kernel")
+
+
+def _is_head_kernel(path) -> bool:
+    """Matches the params the reference attaches slim.l2_regularizer to:
+    the MoE gates/experts FC kernels and the Logistic/FrameLevelLogistic
+    ``fc`` kernel — and nothing else (cluster/hidden/gating weights are
+    created via tf.get_variable without a regularizer)."""
+    keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    if keys and keys[-1] in _HEAD_KERNEL_NAMES:
+        return True
+    return len(keys) >= 2 and keys[-1] == "kernel" and keys[-2] == "fc"
+
+
+def regularization_loss(
+    params, l2_penalty: float, all_kernels: bool = False
+) -> jnp.ndarray:
+    """Slim-style L2: l2_penalty · ½·Σ‖w‖².
+
+    Reference behavior (default): only classifier-head FC kernels carry the
+    regularizer (ref: video_level_models.py#LogisticModel/#MoeModel
+    weights_regularizer=slim.l2_regularizer).  ``all_kernels=True``
+    (``--l2_reg_all_kernels``) extends it to every matrix param — a
+    rebuild-only option, not reference parity.
+    """
     if l2_penalty <= 0:
         return jnp.zeros((), jnp.float32)
     sq = 0.0
-    for p in jax.tree.leaves(params):
-        if p.ndim >= 2:  # kernels/cluster matrices; skip biases & BN scales
+    for path, p in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if p.ndim >= 2 and (all_kernels or _is_head_kernel(path)):
             sq = sq + jnp.sum(jnp.square(p.astype(jnp.float32)))
     return l2_penalty * 0.5 * sq
 
@@ -106,7 +129,9 @@ def make_train_step(
                 predictions, batch["labels"].astype(jnp.float32)
             )
             label_loss = weighted_mean(per_ex, weights)
-            reg = regularization_loss(params, mcfg.l2_penalty)
+            reg = regularization_loss(
+                params, mcfg.l2_penalty, all_kernels=mcfg.l2_reg_all_kernels
+            )
             reg = reg + out.get("regularization_loss", 0.0)
             total = label_loss + tcfg.regularization_penalty * reg
             return total, (label_loss, reg, predictions, mutated["batch_stats"])
@@ -140,7 +165,7 @@ def make_eval_step(
     """
     compute_dtype = jnp.dtype(mcfg.compute_dtype)
 
-    def eval_step(params, batch_stats, batch):
+    def eval_step(params, batch_stats, batch, rng=None):
         x = preprocess_input(batch["features"], compute_dtype)
         num_frames = batch.get("num_frames") if frame_features else None
         weights = batch.get("weights")
@@ -148,6 +173,8 @@ def make_eval_step(
             weights = jnp.ones((x.shape[0],), jnp.float32)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = {"num_frames": num_frames} if num_frames is not None else {}
+        if rng is not None:
+            kwargs["rngs"] = {"sampling": rng}  # fresh frame sampling per batch
         out = model.apply(variables, x, training=False, **kwargs)
         predictions = out["predictions"]
         labels = batch["labels"].astype(jnp.float32)
@@ -166,7 +193,7 @@ def make_predict_step(model, mcfg: ModelConfig, frame_features: bool, top_k: int
     on-device top-k → (values [B,k], class indices [B,k])."""
     compute_dtype = jnp.dtype(mcfg.compute_dtype)
 
-    def predict_step(params, batch_stats, features, num_frames=None):
+    def predict_step(params, batch_stats, features, num_frames=None, rng=None):
         x = preprocess_input(features, compute_dtype)
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = (
@@ -174,6 +201,11 @@ def make_predict_step(model, mcfg: ModelConfig, frame_features: bool, top_k: int
             if (frame_features and num_frames is not None)
             else {}
         )
+        if rng is not None:
+            # fresh frame-sampling randomness per batch (the reference samples
+            # new random frames every batch; a fixed fallback key would
+            # correlate sampling across the whole run — advisor finding)
+            kwargs["rngs"] = {"sampling": rng}
         out = model.apply(variables, x, training=False, **kwargs)
         predictions = out["predictions"].astype(jnp.float32)
         values, indices = jax.lax.top_k(predictions, min(top_k, predictions.shape[-1]))

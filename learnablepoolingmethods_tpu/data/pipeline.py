@@ -112,6 +112,8 @@ def native_batch_iterator(
     seed: int = 0,
     num_workers: int = 8,
     pad_final_batch: bool = True,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator over the native C++ parser (data/native_loader.py).
 
@@ -120,6 +122,10 @@ def native_batch_iterator(
     batches are sliced out with an optional per-epoch permutation.  Falls
     back to the Python reader automatically if the native library is
     unavailable.
+
+    Multi-host: ``shard_index``/``num_shards`` select a disjoint file-level
+    shard per process, matching ``batch_iterator`` — without it every host
+    would read all files and duplicate examples across DP replicas.
     """
     from learnablepoolingmethods_tpu.data import native_loader
 
@@ -140,12 +146,20 @@ def native_batch_iterator(
         yield from batch_iterator(
             reader, data_pattern, batch_size, num_epochs, shuffle,
             seed=seed, pad_final_batch=pad_final_batch,
+            shard_index=shard_index, num_shards=num_shards,
         )
         return
 
     files = sorted(_glob.glob(data_pattern))
     if not files:
         raise IOError(f"Unable to find input files. data_pattern='{data_pattern}'")
+    if num_shards > 1:
+        files = files[shard_index::num_shards]
+        if not files:
+            raise IOError(
+                f"shard {shard_index}/{num_shards} got no files "
+                f"(pattern matched fewer files than shards)"
+            )
     kwargs = dict(feature_sizes=tuple(feature_sizes), feature_names=tuple(feature_names),
                   num_classes=num_classes)
     if frame_level:

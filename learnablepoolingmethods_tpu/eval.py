@@ -81,11 +81,13 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
             use_pallas=jax.default_backend() == "tpu",
             return_probs=True,
         )
-        rng_key = jax.random.key(0)
 
-        def _fast_eval_step(params, batch_stats, batch):
+        def _fast_eval_step(params, batch_stats, batch, rng=None):
             predictions = fast_fwd(
-                fp, batch["features"], batch["num_frames"], rng_key
+                fp,
+                batch["features"],
+                batch["num_frames"],
+                rng if rng is not None else jax.random.key(0),
             ).astype(jnp.float32)
             labels = batch["labels"].astype(jnp.float32)
             weights = batch["weights"]
@@ -113,8 +115,11 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
 
     examples = 0
     t0 = time.time()
-    for batch in pipeline.batch_iterator(
-        reader, FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
+    base_key = jax.random.key(0)
+    for batch_idx, batch in enumerate(
+        pipeline.batch_iterator(
+            reader, FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
+        )
     ):
         batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
         device_batch = {
@@ -122,7 +127,10 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
             for k, v in batch.items()
             if k != "video_id"
         }
-        out = eval_step(params, batch_stats, device_batch)
+        # fresh sampling key per batch (advisor round-1 finding)
+        out = eval_step(
+            params, batch_stats, device_batch, jax.random.fold_in(base_key, batch_idx)
+        )
         w = np.asarray(batch["weights"])
         real = int(w.sum())
         examples += real

@@ -96,6 +96,12 @@ def define_model_flags():
         False,
         "Custom-VJP Pallas aggregation for NetVLAD/NetRVLAD training (TPU).",
     )
+    flags.DEFINE_bool(
+        "l2_reg_all_kernels",
+        False,
+        "Apply the L2 penalty to every matrix param instead of only the "
+        "classifier-head kernels (reference regularizes heads only).",
+    )
 
 
 def define_training_flags():
@@ -184,6 +190,7 @@ def model_config_from_flags() -> ModelConfig:
         video_level_classifier_model=FLAGS.video_level_classifier_model,
         compute_dtype=FLAGS.compute_dtype,
         fused_train_aggregation=FLAGS.fused_train_aggregation,
+        l2_reg_all_kernels=FLAGS.l2_reg_all_kernels,
     )
 
 

@@ -85,12 +85,13 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
             use_pallas=jax.default_backend() == "tpu",
         )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
-        rng_key = jax.random.key(0)
+        base_key = jax.random.key(0)
 
-        def predict_step(params, batch_stats, feats, nf):
-            return fast_jit(fp, feats, nf, rng_key)
+        def predict_step(params, batch_stats, feats, nf, rng):
+            return fast_jit(fp, feats, nf, rng)
 
     else:
+        base_key = jax.random.key(0)
         predict_step = jax.jit(
             step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
         )
@@ -99,10 +100,13 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
     start_time = time.time()
     with open(out_file_location, "w") as out_file:
         out_file.write("VideoId,LabelConfidencePairs\n")
-        for batch in pipeline.batch_iterator(
-            reader, data_pattern, batch_size, num_epochs=1
+        for batch_idx, batch in enumerate(
+            pipeline.batch_iterator(reader, data_pattern, batch_size, num_epochs=1)
         ):
             batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+            # fresh sampling key per batch (reference samples new frames each
+            # batch; advisor round-1 finding)
+            rng_key = jax.random.fold_in(base_key, batch_idx)
             feats = jax.device_put(
                 batch["features"], mesh_lib.batch_sharding(mesh)
             )
@@ -111,7 +115,7 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
                 if "num_frames" in batch
                 else None
             )
-            values, indices = predict_step(params, batch_stats, feats, nf)
+            values, indices = predict_step(params, batch_stats, feats, nf, rng_key)
             w = np.asarray(batch["weights"])
             real = w > 0
             num_examples_processed += int(real.sum())

@@ -130,14 +130,23 @@ class _FrameModelBase(BaseModel):
 class FrameLevelLogisticModel(_FrameModelBase):
     """Mean-over-valid-frames → logistic
     (ref: frame_level_models.py#FrameLevelLogisticModel — sums the zero-padded
-    frame axis and divides by num_frames)."""
+    frame axis and divides by num_frames).
+
+    The reference zero-pads AFTER dequantize, so padded rows contribute
+    nothing to the sum.  Our pipeline pads in uint8 space, and
+    dequantize(0) → −1.992 followed by ℓ2-normalize yields nonzero constant
+    rows; they must be masked out here to reproduce the reference sum.
+    """
 
     @nn.compact
     def __call__(self, model_input, num_frames=None, training: bool = False):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         nf = jnp.maximum(jnp.asarray(num_frames, jnp.float32), 1.0).reshape(-1, 1)
-        avg_pooled = jnp.sum(model_input.astype(jnp.float32), axis=1) / nf
+        mask = model_utils.frame_mask(num_frames, model_input.shape[1])
+        avg_pooled = (
+            jnp.sum(model_input.astype(jnp.float32) * mask[:, :, None], axis=1) / nf
+        )
         logits = nn.Dense(
             cfg.vocab_size,
             kernel_init=nn.initializers.xavier_uniform(),

@@ -322,8 +322,8 @@ class SoftDBoW(BaseModule):
 
 class ContextGating(nn.Module):
     """Context gating x ⊙ σ(Wx (+b | BN)) (ref: NetVLADModelLF gating block;
-    Miech et al. 2017).  The fused-GLU Pallas/XLA path lives in ops/gating.py;
-    this flax module is the training/parity path."""
+    Miech et al. 2017).  The BN-folded fused inference path lives in
+    ops/fast_infer.py; this flax module is the training/parity path."""
 
     add_batch_norm: bool = True
     remove_diag: bool = False

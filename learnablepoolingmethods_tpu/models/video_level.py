@@ -46,7 +46,7 @@ class MoeModel(BaseModel):
     BASELINE config 2, and the default head of every frame-level model via
     ``--video_level_classifier_model``.  Both FCs are single dense matmuls
     [B, D] × [D, V·(2M+1)]-equivalent — MXU-friendly, fused by XLA; the
-    dedicated fused-head op lives in ops/moe_head.py.
+    BN-folded fused head used at inference lives in ops/fast_infer.py.
     """
 
     @nn.compact

@@ -106,6 +106,8 @@ class Trainer:
                 shuffle=True,
                 seed=FLAGS.seed + jax.process_index(),
                 num_workers=FLAGS.num_readers,
+                shard_index=jax.process_index(),
+                num_shards=jax.process_count(),
             )
         else:
             batches = pipeline.batch_iterator(

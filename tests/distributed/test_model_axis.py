@@ -1,0 +1,123 @@
+"""Model-axis (2-D mesh) sharding equivalence (SURVEY.md §7 hard part).
+
+The Willow config's 278528×1024 hidden FC (~285M params) is the one weight
+that can outgrow a chip; ``parallel/mesh.py#shard_params`` splits its output
+axis over the ``"model"`` mesh axis.  These tests prove on a 4×2 virtual mesh
+that the sharded train/eval steps are numerically equivalent to the fully
+replicated 1-D-mesh run (XLA inserts the all-gathers; math unchanged).
+"""
+
+import chex
+import jax
+import numpy as np
+
+from learnablepoolingmethods_tpu import losses
+from learnablepoolingmethods_tpu.config import ModelConfig, TrainingConfig
+from learnablepoolingmethods_tpu.core import optimizers, step as step_lib
+from learnablepoolingmethods_tpu.core.train_state import TrainState
+from learnablepoolingmethods_tpu.models import create_model
+from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+MCFG = ModelConfig(
+    vocab_size=32,
+    iterations=6,
+    netvlad_cluster_size=8,
+    netvlad_hidden_size=32,
+    moe_num_mixtures=2,
+)
+TCFG = TrainingConfig(batch_size=8, base_learning_rate=0.01)
+MIN_SIZE = 1 << 8  # shrink the "large param" threshold to hit the tiny FC
+
+
+def _make_state_and_batch(rng):
+    model = create_model("NetVLADModelLF", MCFG)
+    batch = {
+        "features": rng.integers(0, 256, size=(8, 12, 24), dtype=np.uint8),
+        "labels": (rng.uniform(size=(8, MCFG.vocab_size)) < 0.2).astype(np.float32),
+        "num_frames": rng.integers(1, 13, size=(8,)).astype(np.int32),
+        "weights": np.ones(8, np.float32),
+    }
+    params, bs = step_lib.init_model_variables(model, batch, frame_features=True)
+    tx = optimizers.create_optimizer(TCFG)
+    return model, TrainState.create(params, bs, tx), batch
+
+
+def _shard_state(state, mesh):
+    repl = mesh_lib.replicated_sharding(mesh)
+    return state.replace(
+        params=mesh_lib.shard_params(state.params, mesh, min_size=MIN_SIZE),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+        step=jax.device_put(state.step, repl),
+    )
+
+
+def test_shard_params_actually_shards():
+    """Guard against vacuous equivalence: at least one param must land on
+    the model axis of a 4×2 mesh."""
+    rng = np.random.default_rng(0)
+    _, state, _ = _make_state_and_batch(rng)
+    mesh = mesh_lib.create_mesh(model_parallelism=2)
+    sharded = mesh_lib.shard_params(state.params, mesh, min_size=MIN_SIZE)
+    n_model_sharded = 0
+    for p in jax.tree.leaves(sharded):
+        spec = p.sharding.spec
+        if any(s == mesh_lib.MODEL_AXIS for s in spec):
+            n_model_sharded += 1
+            assert p.shape[-1] % 2 == 0
+    assert n_model_sharded >= 1, "no param was sharded over the model axis"
+
+
+def test_model_axis_train_step_equals_replicated(rng):
+    model, state, batch = _make_state_and_batch(rng)
+    loss_obj = losses.CrossEntropyLoss()
+    step_fn = step_lib.make_train_step(model, loss_obj, TCFG, MCFG, True)
+    key = jax.random.key(0)
+
+    # baseline: 1-D data mesh, everything replicated
+    mesh1 = mesh_lib.create_mesh()
+    state1 = jax.device_put(state, mesh_lib.replicated_sharding(mesh1))
+    batch1 = mesh_lib.shard_batch(batch, mesh1)
+    key1 = jax.device_put(key, mesh_lib.replicated_sharding(mesh1))
+    s1, m1 = jax.jit(step_fn)(state1, batch1, key1)
+
+    # 4×2 mesh with model-axis param sharding
+    mesh2 = mesh_lib.create_mesh(model_parallelism=2)
+    state2 = _shard_state(jax.device_get(state), mesh2)
+    batch2 = mesh_lib.shard_batch(batch, mesh2)
+    key2 = jax.device_put(key, mesh_lib.replicated_sharding(mesh2))
+    s2, m2 = jax.jit(step_fn)(state2, batch2, key2)
+
+    chex.assert_trees_all_close(
+        jax.device_get(s1.params), jax.device_get(s2.params),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+    # second step: sharding survives the update (output shardings propagate)
+    s2b, m2b = jax.jit(step_fn)(s2, batch2, key2)
+    assert np.isfinite(float(m2b["loss"]))
+
+
+def test_model_axis_eval_equals_replicated(rng):
+    model, state, batch = _make_state_and_batch(rng)
+    loss_obj = losses.CrossEntropyLoss()
+    eval_fn = step_lib.make_eval_step(model, loss_obj, MCFG, True, top_k=5)
+
+    mesh1 = mesh_lib.create_mesh()
+    p1 = jax.device_put(state.params, mesh_lib.replicated_sharding(mesh1))
+    b1 = jax.device_put(state.batch_stats, mesh_lib.replicated_sharding(mesh1))
+    out1 = jax.jit(eval_fn)(p1, b1, mesh_lib.shard_batch(batch, mesh1))
+
+    mesh2 = mesh_lib.create_mesh(model_parallelism=2)
+    p2 = mesh_lib.shard_params(jax.device_get(state.params), mesh2, min_size=MIN_SIZE)
+    b2 = jax.device_put(
+        jax.device_get(state.batch_stats), mesh_lib.replicated_sharding(mesh2)
+    )
+    out2 = jax.jit(eval_fn)(p2, b2, mesh_lib.shard_batch(batch, mesh2))
+
+    np.testing.assert_allclose(
+        np.asarray(out1["predictions"]), np.asarray(out2["predictions"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=1e-5)

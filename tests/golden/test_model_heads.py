@@ -83,6 +83,41 @@ def test_frame_level_logistic_golden(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_frame_level_logistic_uint8_padding(rng):
+    """Padding in uint8 space must not leak into the pooled mean.
+
+    The pipeline zero-pads BEFORE dequantize; dequantize(0) = -1.992 and
+    ℓ2-normalize makes the pad rows nonzero constants.  The model must mask
+    them so its output equals the reference's zero-pad-after-dequantize
+    semantics (advisor round-1 medium finding)."""
+    from learnablepoolingmethods_tpu.core.step import preprocess_input
+
+    cfg = ModelConfig(vocab_size=V)
+    m = create_model("FrameLevelLogisticModel", cfg)
+    feats = rng.integers(0, 256, size=(4, 10, 8), dtype=np.uint8)
+    nf = np.array([10, 3, 7, 1], np.int32)
+    for i, n in enumerate(nf):
+        feats[i, n:] = 0  # uint8-space padding, as readers.py produces
+    x = preprocess_input(jnp.asarray(feats))  # dequantize → ℓ2-normalize
+    variables = m.init(jax.random.key(0), x, num_frames=jnp.asarray(nf))
+    got = np.asarray(
+        m.apply(variables, x, num_frames=jnp.asarray(nf))["predictions"]
+    )
+
+    # reference semantics: zero the pad rows AFTER dequantize+normalize
+    x_ref = np.array(x)  # writable copy
+    for i, n in enumerate(nf):
+        x_ref[i, n:] = 0.0
+    p = variables["params"]["fc"]
+    denom = tf.cast(tf.reshape(nf, [-1, 1]), tf.float32)
+    avg = tf.reduce_sum(tf.constant(x_ref), axis=[1]) / denom
+    want = tf.sigmoid(
+        tf.matmul(avg, tf.constant(np.asarray(p["kernel"])))
+        + tf.constant(np.asarray(p["bias"]))
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_sample_random_frames_distribution_and_determinism(rng):
     """Index distribution matches floor(U·num_frames); same key → same sample."""
     x = jnp.asarray(rng.normal(size=(2, 20, 3)).astype(np.float32))
