@@ -50,6 +50,12 @@ def define_flags():
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
     )
+    flags.DEFINE_string(
+        "reference_checkpoint",
+        "",
+        "Evaluate a reference-trained TF checkpoint (TF1 Saver format) "
+        "instead of polling --train_dir (core/checkpoint_import.py).",
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -183,6 +189,15 @@ def evaluation_loop():
     reader = lpm_flags.make_reader(fcfg, mcfg.vocab_size)
     model = create_model(FLAGS.model, mcfg)
     loss_obj = lpm_flags.get_loss_by_name(FLAGS.label_loss)
+
+    if FLAGS.reference_checkpoint:
+        from learnablepoolingmethods_tpu.core import checkpoint_import
+
+        tree = checkpoint_import.tree_from_reference_checkpoint(
+            FLAGS.reference_checkpoint, FLAGS.model, mcfg, fcfg
+        )
+        logging.info("imported reference checkpoint %s", FLAGS.reference_checkpoint)
+        return evaluate_checkpoint(0, tree, model, loss_obj, reader, fcfg, mcfg)
 
     mngr = ckpt_lib.CheckpointManager(FLAGS.train_dir)
     writer = observability.MetricWriter(FLAGS.train_dir + "/eval")

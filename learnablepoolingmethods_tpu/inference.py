@@ -34,6 +34,12 @@ def define_flags():
         "Use the fused inference path (BN folding + Pallas NetVLAD + bf16); "
         "NetVLADModelLF only.",
     )
+    flags.DEFINE_string(
+        "reference_checkpoint",
+        "",
+        "Run inference from a reference-trained TF checkpoint (TF1 Saver "
+        "format) instead of --train_dir (core/checkpoint_import.py).",
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -53,12 +59,20 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
     mcfg = lpm_flags.model_config_from_flags()
     model = create_model(FLAGS.model, mcfg)
 
-    mngr = ckpt_lib.CheckpointManager(train_dir)
-    step_num = mngr.latest_step()
-    if step_num is None:
-        raise IOError(f"no checkpoint found in {train_dir}")
-    tree = mngr.restore(step_num)
-    logging.info("restored checkpoint at step %d", step_num)
+    if FLAGS.reference_checkpoint:
+        from learnablepoolingmethods_tpu.core import checkpoint_import
+
+        tree = checkpoint_import.tree_from_reference_checkpoint(
+            FLAGS.reference_checkpoint, FLAGS.model, mcfg, fcfg
+        )
+        logging.info("imported reference checkpoint %s", FLAGS.reference_checkpoint)
+    else:
+        mngr = ckpt_lib.CheckpointManager(train_dir)
+        step_num = mngr.latest_step()
+        if step_num is None:
+            raise IOError(f"no checkpoint found in {train_dir}")
+        tree = mngr.restore(step_num)
+        logging.info("restored checkpoint at step %d", step_num)
 
     mesh = mesh_lib.create_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
