@@ -25,7 +25,6 @@ from learnablepoolingmethods_tpu import flags as lpm_flags
 from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
 from learnablepoolingmethods_tpu.core import observability
 from learnablepoolingmethods_tpu.core import step as step_lib
-from learnablepoolingmethods_tpu.data import pipeline
 from learnablepoolingmethods_tpu.metrics import eval_util
 from learnablepoolingmethods_tpu.models import create_model
 from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
@@ -45,7 +44,7 @@ def define_flags():
         "fast_forward",
         False,
         "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
-        "model — NetVLADModelLF (Willow shape) only.",
+        "model — NetVLADModelLF and DbofModel.",
     )
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
@@ -70,23 +69,33 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
 
     if FLAGS.fast_forward:
         from learnablepoolingmethods_tpu.ops import metrics_ops
-        from learnablepoolingmethods_tpu.ops.fast_infer import (
-            build_fast_netvlad_inference,
-            prepare_fast_params,
-        )
 
-        fp = jax.device_put(
-            prepare_fast_params(
-                {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        if FLAGS.model == "DbofModel":
+            from learnablepoolingmethods_tpu.ops.fast_dbof import (
+                build_fast_dbof_inference,
+                prepare_fast_dbof_params,
+            )
+
+            fp = jax.device_put(prepare_fast_dbof_params(variables, mcfg), repl)
+            fast_fwd = build_fast_dbof_inference(mcfg, return_probs=True)
+        elif FLAGS.model == "NetVLADModelLF":
+            from learnablepoolingmethods_tpu.ops.fast_infer import (
+                build_fast_netvlad_inference,
+                prepare_fast_params,
+            )
+
+            fp = jax.device_put(prepare_fast_params(variables, mcfg), repl)
+            fast_fwd = build_fast_netvlad_inference(
                 mcfg,
-            ),
-            repl,
-        )
-        fast_fwd = build_fast_netvlad_inference(
-            mcfg,
-            use_pallas=jax.default_backend() == "tpu",
-            return_probs=True,
-        )
+                use_pallas=jax.default_backend() == "tpu",
+                return_probs=True,
+            )
+        else:
+            raise ValueError(
+                f"--fast_forward supports NetVLADModelLF and DbofModel, "
+                f"got {FLAGS.model!r}"
+            )
 
         def _fast_eval_step(params, batch_stats, batch, rng=None):
             predictions = fast_fwd(
@@ -123,8 +132,8 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
     t0 = time.time()
     base_key = jax.random.key(0)
     for batch_idx, batch in enumerate(
-        pipeline.batch_iterator(
-            reader, FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
+        lpm_flags.input_iterator(
+            FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
         )
     ):
         batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)

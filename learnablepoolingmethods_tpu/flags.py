@@ -37,6 +37,18 @@ def define_data_flags():
     flags.DEFINE_integer(
         "num_readers", 8, "How many threads to use for reading input files."
     )
+    flags.DEFINE_bool(
+        "use_grain",
+        False,
+        "Read input through the grain DataLoader (random-access TFRecord "
+        "source, deterministic global shuffle, multi-host sharding) instead "
+        "of the streaming Python reader.",
+    )
+    flags.DEFINE_integer(
+        "grain_worker_count",
+        0,
+        "grain worker processes (0 = parse in-process).",
+    )
 
 
 def define_model_flags():
@@ -231,6 +243,61 @@ def make_reader(fcfg: FeatureConfig, num_classes: int):
         num_classes=num_classes,
         feature_sizes=fcfg.feature_sizes,
         feature_names=fcfg.feature_names,
+    )
+
+
+def input_iterator(
+    data_pattern: str,
+    batch_size: int,
+    num_epochs,
+    shuffle: bool = False,
+    seed: int = 0,
+    shard_by_process: bool = False,
+):
+    """Flag-dispatched batch iterator: ``--use_grain`` → grain DataLoader,
+    otherwise the streaming Python reader (data/pipeline.py).  Both emit the
+    same batch schema; grain's final partial batch is zero-padded to
+    ``batch_size`` with a weights mask so shapes stay XLA-static."""
+    import jax
+
+    from learnablepoolingmethods_tpu.data import pipeline
+    from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+
+    fcfg = feature_config_from_flags()
+    if FLAGS.use_grain:
+        from learnablepoolingmethods_tpu.data.grain_pipeline import (
+            grain_batch_iterator,
+        )
+
+        def gen():
+            for b in grain_batch_iterator(
+                data_pattern,
+                batch_size,
+                fcfg.frame_features,
+                num_epochs=num_epochs,
+                shuffle=shuffle,
+                seed=seed,
+                worker_count=FLAGS.grain_worker_count,
+                shard_by_process=shard_by_process,
+                feature_sizes=fcfg.feature_sizes,
+                feature_names=fcfg.feature_names,
+                num_classes=FLAGS.num_classes,
+                max_frames=fcfg.max_frames,
+            ):
+                yield mesh_lib.pad_batch_to_multiple(b, batch_size)
+
+        return gen()
+
+    reader = make_reader(fcfg, FLAGS.num_classes)
+    return pipeline.batch_iterator(
+        reader,
+        data_pattern,
+        batch_size,
+        num_epochs=num_epochs,
+        shuffle=shuffle,
+        seed=seed,
+        shard_index=jax.process_index() if shard_by_process else 0,
+        num_shards=jax.process_count() if shard_by_process else 1,
     )
 
 

@@ -16,7 +16,6 @@ from absl import app, flags, logging
 from learnablepoolingmethods_tpu import flags as lpm_flags
 from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
 from learnablepoolingmethods_tpu.core import step as step_lib
-from learnablepoolingmethods_tpu.data import pipeline
 from learnablepoolingmethods_tpu.models import create_model
 from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
 
@@ -31,8 +30,8 @@ def define_flags():
     flags.DEFINE_bool(
         "fast_infer",
         False,
-        "Use the fused inference path (BN folding + Pallas NetVLAD + bf16); "
-        "NetVLADModelLF only.",
+        "Use the fused inference path (BN folding, Pallas NetVLAD, bf16); "
+        "NetVLADModelLF and DbofModel.",
     )
     flags.DEFINE_string(
         "reference_checkpoint",
@@ -81,23 +80,33 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
     if FLAGS.fast_infer:
-        from learnablepoolingmethods_tpu.ops.fast_infer import (
-            build_fast_netvlad_inference,
-            prepare_fast_params,
-        )
+        variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        if FLAGS.model == "DbofModel":
+            from learnablepoolingmethods_tpu.ops.fast_dbof import (
+                build_fast_dbof_inference,
+                prepare_fast_dbof_params,
+            )
 
-        fp = jax.device_put(
-            prepare_fast_params(
-                {"params": tree["params"], "batch_stats": tree["batch_stats"]}, mcfg
-            ),
-            repl,
-        )
-        fast = build_fast_netvlad_inference(
-            mcfg,
-            top_k=top_k,
-            # Mosaic kernels need real TPU; elsewhere use the identical jnp path
-            use_pallas=jax.default_backend() == "tpu",
-        )
+            fp = jax.device_put(prepare_fast_dbof_params(variables, mcfg), repl)
+            fast = build_fast_dbof_inference(mcfg, top_k=top_k)
+        elif FLAGS.model == "NetVLADModelLF":
+            from learnablepoolingmethods_tpu.ops.fast_infer import (
+                build_fast_netvlad_inference,
+                prepare_fast_params,
+            )
+
+            fp = jax.device_put(prepare_fast_params(variables, mcfg), repl)
+            fast = build_fast_netvlad_inference(
+                mcfg,
+                top_k=top_k,
+                # Mosaic kernels need real TPU; elsewhere the identical jnp path
+                use_pallas=jax.default_backend() == "tpu",
+            )
+        else:
+            raise ValueError(
+                f"--fast_infer supports NetVLADModelLF and DbofModel, "
+                f"got {FLAGS.model!r}"
+            )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
         base_key = jax.random.key(0)
 
@@ -115,7 +124,7 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
     with open(out_file_location, "w") as out_file:
         out_file.write("VideoId,LabelConfidencePairs\n")
         for batch_idx, batch in enumerate(
-            pipeline.batch_iterator(reader, data_pattern, batch_size, num_epochs=1)
+            lpm_flags.input_iterator(data_pattern, batch_size, num_epochs=1)
         ):
             batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
             # fresh sampling key per batch (reference samples new frames each

@@ -154,12 +154,19 @@ def ap_vectorized(
     predictions: np.ndarray,
     actuals: np.ndarray,
     total_num_positives: Optional[int] = None,
+    shuffle: bool = True,
 ) -> float:
     """One-shot vectorized AP over a flat pool (no heap, no Python loop).
 
-    Matches :meth:`AveragePrecisionCalculator.ap_at_n` with ``n=None`` up to
-    tie-ordering; used by the fast epoch finalizer where the pool is already
-    top-k-bounded on device.  O(N log N) sort, all NumPy.
+    Matches :meth:`AveragePrecisionCalculator.ap_at_n` with ``n=None``; used
+    by the fast epoch finalizer where the pool is already top-k-bounded on
+    device.  O(N log N) sort, all NumPy.
+
+    ``shuffle`` applies the reference's deterministic seed-0 tie shuffle
+    before the stable sort — without it, a stable sort systematically favors
+    pool order among tied scores, which was measured to bias GAP by >1e-3 on
+    tie-heavy (quantized) inputs (tests/unit/test_metrics.py tie-break
+    bound tests).
     """
     predictions = np.asarray(predictions, dtype=np.float64)
     actuals = np.asarray(actuals)
@@ -169,6 +176,10 @@ def ap_vectorized(
         numpos = int(total_num_positives)
     if numpos == 0 or predictions.size == 0:
         return 0.0
+    if shuffle:
+        predictions, actuals = AveragePrecisionCalculator._shuffle(
+            predictions, actuals
+        )
     order = np.argsort(-predictions, kind="stable")
     hits = (actuals[order] > 0).astype(np.float64)
     poscount = np.cumsum(hits)

@@ -93,7 +93,18 @@ class Trainer:
         )
 
         num_epochs = tcfg.num_epochs if tcfg.num_epochs > 0 else None
-        if FLAGS.use_native_reader:
+        if FLAGS.use_grain and FLAGS.use_native_reader:
+            raise ValueError("--use_grain and --use_native_reader are exclusive")
+        if FLAGS.use_grain:
+            batches = lpm_flags.input_iterator(
+                FLAGS.train_data_pattern,
+                tcfg.batch_size,
+                num_epochs=num_epochs,
+                shuffle=True,
+                seed=FLAGS.seed,
+                shard_by_process=True,
+            )
+        elif FLAGS.use_native_reader:
             batches = pipeline.native_batch_iterator(
                 FLAGS.train_data_pattern,
                 tcfg.batch_size,

@@ -174,3 +174,76 @@ def test_streaming_gap_matches_eval_metrics(rng):
         )
     # identical up to tie-ordering; random uniforms have no ties
     np.testing.assert_allclose(sg.get(), ref_gap, rtol=1e-9)
+
+
+def test_fast_gap_bitexact_on_same_pool(rng):
+    """ap_vectorized (with the seed-0 tie shuffle) must be BIT-EXACT with the
+    reference ap_at_n on the same pool, even with heavy ties (VERDICT
+    round-1 item 8; fixes the stable-sort tie bias this test originally
+    caught at 2.2e-3)."""
+    from learnablepoolingmethods_tpu.metrics.average_precision_calculator import (
+        AveragePrecisionCalculator,
+        ap_vectorized,
+    )
+
+    pool_p = np.round(rng.uniform(size=4000) * 5.0) / 5.0  # 6 distinct scores
+    pool_l = (rng.uniform(size=4000) < 0.2).astype(float)
+    numpos = float(pool_l.sum())
+    fast = ap_vectorized(pool_p, pool_l, numpos)
+    ref = AveragePrecisionCalculator.ap_at_n(
+        pool_p, pool_l, n=None, total_num_positives=numpos
+    )
+    np.testing.assert_allclose(fast, ref, rtol=1e-12)
+
+    # all-tied degenerate pool: still bit-exact
+    pool_p = np.full(2000, 0.5)
+    pool_l = (rng.uniform(size=2000) < 0.3).astype(float)
+    fast = ap_vectorized(pool_p, pool_l, float(pool_l.sum()))
+    ref = AveragePrecisionCalculator.ap_at_n(
+        pool_p, pool_l, n=None, total_num_positives=float(pool_l.sum())
+    )
+    np.testing.assert_allclose(fast, ref, rtol=1e-12)
+
+
+def test_fast_gap_tie_break_bound():
+    """Pipeline-level tie bound (SURVEY.md 7 GAP-parity hard part): the fast
+    path pools per-video top-k on device (video-major order) while the
+    reference pools class-major through a heap, so under score ties the two
+    orders differ.  At realistic quantization (>=64 score levels) the GAP
+    difference must stay inside the 1e-3 parity budget.
+
+    Heavier tying has NO well-defined 1e-3 target: the reference disagrees
+    with ITSELF by ~5e-3 at 6-level quantization when the same data is
+    accumulated in different batch splits (heap insertion order changes the
+    seed-0 tie shuffle input) -- measured in this test at the looser bound.
+    """
+    from learnablepoolingmethods_tpu.metrics.average_precision_calculator import (
+        ap_vectorized,
+    )
+
+    top_k = 20
+    for levels, bound in ((63, 1e-3), (255, 1e-3), (5, 1e-2)):
+        for seed in range(3):
+            r = np.random.default_rng(seed)
+            preds = np.round(r.uniform(size=(256, 40)) * levels) / levels
+            labels = (r.uniform(size=(256, 40)) < 0.15).astype(float)
+            labels[:, 1] = 1
+            ref_gap = eval_util.calculate_gap(preds, labels, top_k=top_k)
+            idx = np.argsort(-preds, axis=1)[:, :top_k]
+            fast = ap_vectorized(
+                np.take_along_axis(preds, idx, 1).ravel(),
+                np.take_along_axis(labels, idx, 1).ravel(),
+                float(labels.sum()),
+            )
+            assert abs(fast - ref_gap) < bound, (levels, seed, fast, ref_gap)
+
+    # document the reference's own tie-order sensitivity (batch-split effect)
+    r = np.random.default_rng(1)
+    preds = np.round(r.uniform(size=(256, 40)) * 5) / 5
+    labels = (r.uniform(size=(256, 40)) < 0.15).astype(float)
+    labels[:, 1] = 1
+    g_full = eval_util.calculate_gap(preds, labels, top_k=top_k)
+    em = eval_util.EvaluationMetrics(40, top_k)
+    for i in range(0, 256, 32):
+        em.accumulate(preds[i : i + 32], labels[i : i + 32], 0.0)
+    assert abs(g_full - em.get()["gap"]) > 1e-3  # ties make even ref-vs-ref drift
