@@ -162,3 +162,6 @@ class TrainingConfig:
     adam_bf16_momentum: bool = False            # store Adam's first moment in
                                                 # bf16 — the update is HBM-bound
                                                 # (~37% of the Willow train step)
+    fp32_master: bool = False                   # bf16 params + fp32 master in
+                                                # the optimizer (--bf16_params
+                                                # sets this with param_dtype)

@@ -154,6 +154,13 @@ def define_training_flags():
     flags.DEFINE_bool(
         "adam_bf16_momentum", False, "Store Adam's first moment in bfloat16."
     )
+    flags.DEFINE_bool(
+        "bf16_params",
+        False,
+        "Store model params in bfloat16 with an fp32 master copy in the "
+        "optimizer (halves fwd/bwd weight + grad HBM traffic; Adam math "
+        "stays fp32 on the master).",
+    )
 
 
 def feature_config_from_flags() -> FeatureConfig:
@@ -168,6 +175,7 @@ def feature_config_from_flags() -> FeatureConfig:
 def model_config_from_flags() -> ModelConfig:
     return ModelConfig(
         vocab_size=FLAGS.num_classes,
+        param_dtype="bfloat16" if FLAGS.bf16_params else "float32",
         moe_num_mixtures=FLAGS.moe_num_mixtures,
         moe_l2=FLAGS.moe_l2,
         iterations=FLAGS.iterations,
@@ -223,6 +231,7 @@ def training_config_from_flags() -> TrainingConfig:
         keep_checkpoint_max=FLAGS.keep_checkpoint_max,
         use_remat=FLAGS.use_remat,
         adam_bf16_momentum=FLAGS.adam_bf16_momentum,
+        fp32_master=FLAGS.bf16_params,
     )
 
 
