@@ -14,17 +14,23 @@ server over an exported artifact (export_model.py):
     GET /healthz            → ok
 
 Batches are padded to a fixed serving batch size so the compiled forward
-never retraces (XLA static shapes).  The stdlib http.server keeps the
-dependency surface zero; production fronting (load balancing, TLS) is
-expected upstream, exactly as with TF Serving.
+never retraces (XLA static shapes).  Concurrent requests are coalesced by a
+``BatchingQueue`` into full device batches behind one dispatch thread
+(handler threads never touch jax — the axon TPU client hangs off-main-thread).
+The stdlib http.server keeps the dependency surface zero; production fronting
+(load balancing, TLS) is expected upstream, exactly as with TF Serving.
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import struct
+import threading
+import time
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
-from typing import List
+from typing import List, Optional
 
 from absl import app, flags, logging
 
@@ -37,6 +43,17 @@ def define_flags():
     flags.DEFINE_string("export_dir", "", "Exported model directory.")
     flags.DEFINE_integer("port", 8500, "HTTP port.")
     flags.DEFINE_integer("serving_batch_size", 32, "Fixed compile batch size.")
+    flags.DEFINE_bool(
+        "single_thread",
+        False,
+        "Serve one request at a time on the main thread (no batching queue).",
+    )
+    flags.DEFINE_float(
+        "batch_linger_ms",
+        2.0,
+        "How long the batching queue waits to coalesce concurrent requests "
+        "into one device batch.",
+    )
 
 
 def frame_records(records: List[bytes]) -> bytes:
@@ -89,7 +106,9 @@ class ModelServer:
             )
         self.predict([rec] * self.batch_size)
 
-    def predict(self, records: List[bytes]):
+    def predict_pairs(self, records: List[bytes]):
+        """→ [(classes, scores)] per record; chunks + pads to the fixed
+        compile batch size internally."""
         import numpy as np
 
         out = []
@@ -99,16 +118,91 @@ class ModelServer:
             indices, values = self._serve(chunk + [chunk[-1]] * pad)
             for i in range(len(chunk)):
                 out.append(
-                    {
-                        "video_index": start + i,
-                        "classes": np.asarray(indices[i]).tolist(),
-                        "scores": [round(float(v), 6) for v in np.asarray(values[i])],
-                    }
+                    (
+                        np.asarray(indices[i]).tolist(),
+                        [round(float(v), 6) for v in np.asarray(values[i])],
+                    )
                 )
         return out
 
+    def predict(self, records: List[bytes]):
+        return [
+            {"video_index": i, "classes": c, "scores": s}
+            for i, (c, s) in enumerate(self.predict_pairs(records))
+        ]
 
-def make_handler(server: ModelServer):
+
+class BatchingQueue:
+    """Request coalescing behind ONE dispatch thread (ROADMAP item 6).
+
+    Handler threads (ThreadingHTTPServer) never touch jax — they submit
+    record lists and block on a Future.  The dispatch loop (run on the
+    jax-owning thread; the MAIN thread under the axon TPU tunnel, whose
+    client hangs when dispatched from other threads — see CLAUDE.md) drains
+    the queue, coalesces concurrent requests up to the compile batch size
+    (lingering ``max_delay_ms`` for stragglers), executes one padded device
+    batch, and splits the results back per request.
+    """
+
+    _SHUTDOWN = object()
+
+    def __init__(self, server: ModelServer, max_delay_ms: float = 2.0):
+        self._server = server
+        self._q: "queue.Queue" = queue.Queue()
+        self._linger = max_delay_ms / 1e3
+
+    def submit(self, records: List[bytes]) -> Future:
+        fut: Future = Future()
+        self._q.put((records, fut))
+        return fut
+
+    def shutdown(self):
+        self._q.put(self._SHUTDOWN)
+
+    def run_forever(self):
+        while self._run_one():
+            pass
+
+    def _run_one(self) -> bool:
+        item = self._q.get()
+        if item is self._SHUTDOWN:
+            return False
+        pending = [item]
+        total = len(item[0])
+        deadline = time.monotonic() + self._linger
+        while total < self._server.batch_size:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is self._SHUTDOWN:
+                self._q.put(nxt)  # re-deliver after this batch
+                break
+            pending.append(nxt)
+            total += len(nxt[0])
+        records = [r for recs, _ in pending for r in recs]
+        try:
+            pairs = self._server.predict_pairs(records)
+        except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
+            for _, fut in pending:
+                fut.set_exception(e)
+            return True
+        pos = 0
+        for recs, fut in pending:
+            fut.set_result(
+                [
+                    {"video_index": i, "classes": c, "scores": s}
+                    for i, (c, s) in enumerate(pairs[pos : pos + len(recs)])
+                ]
+            )
+            pos += len(recs)
+        return True
+
+
+def make_handler(server: ModelServer, batcher: Optional[BatchingQueue] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # absl logging instead of stderr spam
             logging.info("serving: " + fmt, *args)
@@ -136,7 +230,10 @@ def make_handler(server: ModelServer):
                 records = unframe_records(body)
                 if not records:
                     raise ValueError("no records in request")
-                preds = server.predict(records)
+                if batcher is not None:
+                    preds = batcher.submit(records).result(timeout=300)
+                else:
+                    preds = server.predict(records)
             except Exception as e:  # noqa: BLE001 — report, don't crash the server
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return
@@ -146,26 +243,55 @@ def make_handler(server: ModelServer):
 
 
 def serve_forever(
-    export_dir: str, port: int, serving_batch_size: int = 32, threaded: bool = False
+    export_dir: str,
+    port: int,
+    serving_batch_size: int = 32,
+    single_thread: bool = False,
+    batch_linger_ms: float = 2.0,
 ):
+    """Default mode: ThreadingHTTPServer accepts concurrent requests, the
+    BatchingQueue coalesces them, and the dispatch loop runs on THIS (main)
+    thread — all jax dispatch stays main-thread, which the axon TPU tunnel
+    requires (CLAUDE.md).  ``single_thread`` restores the round-1 behavior:
+    one request at a time, no queue."""
     model_server = ModelServer(export_dir, serving_batch_size)
     logging.info("warming up compiled forward ...")
     model_server.warmup()
-    # Single-threaded by default: request handling (and therefore jax
-    # dispatch) stays on one thread — required on backends whose client is
-    # not thread-safe (observed hang dispatching from handler threads on the
-    # axon TPU tunnel).  ThreadingHTTPServer is fine for CPU serving.
-    server_cls = ThreadingHTTPServer if threaded else HTTPServer
-    httpd = server_cls(("0.0.0.0", port), make_handler(model_server))
-    logging.info("serving %s on :%d (batch %d)", export_dir, port, serving_batch_size)
-    httpd.serve_forever()
+    if single_thread:
+        httpd = HTTPServer(("0.0.0.0", port), make_handler(model_server))
+        logging.info(
+            "serving %s on :%d (batch %d, single-thread)",
+            export_dir, port, serving_batch_size,
+        )
+        httpd.serve_forever()
+        return
+    batcher = BatchingQueue(model_server, max_delay_ms=batch_linger_ms)
+    httpd = ThreadingHTTPServer(
+        ("0.0.0.0", port), make_handler(model_server, batcher)
+    )
+    accept_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    accept_thread.start()
+    logging.info(
+        "serving %s on :%d (batch %d, batching queue, linger %.1f ms)",
+        export_dir, port, serving_batch_size, batch_linger_ms,
+    )
+    try:
+        batcher.run_forever()  # jax dispatch loop, main thread
+    finally:
+        httpd.shutdown()
 
 
 def main(unused_argv):
     logging.set_verbosity(logging.INFO)
     if not FLAGS.export_dir:
         raise ValueError("--export_dir is required")
-    serve_forever(FLAGS.export_dir, FLAGS.port, FLAGS.serving_batch_size)
+    serve_forever(
+        FLAGS.export_dir,
+        FLAGS.port,
+        FLAGS.serving_batch_size,
+        single_thread=FLAGS.single_thread,
+        batch_linger_ms=FLAGS.batch_linger_ms,
+    )
 
 
 define_flags()

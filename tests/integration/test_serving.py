@@ -82,3 +82,106 @@ def test_unknown_route_404(served):
     port, _ = served
     status, _ = _post(port, "/nope", b"")
     assert status == 404
+
+
+@pytest.fixture(scope="module")
+def served_batching(tmp_path_factory):
+    """Server in the default (round-2) mode: ThreadingHTTPServer + the
+    BatchingQueue dispatch loop on a dedicated thread."""
+    d = tmp_path_factory.mktemp("serve_bq")
+    data_path = str(d / "data.tfrecord")
+    fixtures.write_video_level_fixture(
+        data_path, num_videos=6, num_classes=12, rgb_size=6, audio_size=2
+    )
+    mcfg = ModelConfig(vocab_size=12)
+    fcfg = FeatureConfig(("mean_rgb", "mean_audio"), (6, 2))
+    model = create_model("LogisticModel", mcfg)
+    example = {"features": np.zeros((1, 8), np.float32)}
+    params, bs = step_lib.init_model_variables(model, example, False)
+    export_dir = str(d / "export")
+    export_model(export_dir, "LogisticModel", mcfg, fcfg, params, bs, top_k=4)
+
+    server = serving.ModelServer(export_dir, 4)
+    calls = {"n": 0}
+    inner = server.predict_pairs
+
+    def counting(records):
+        calls["n"] += 1
+        return inner(records)
+
+    server.predict_pairs = counting
+    batcher = serving.BatchingQueue(server, max_delay_ms=100.0)
+    httpd = serving.ThreadingHTTPServer(
+        ("127.0.0.1", 0), serving.make_handler(server, batcher)
+    )
+    accept = threading.Thread(target=httpd.serve_forever, daemon=True)
+    accept.start()
+    dispatch = threading.Thread(target=batcher.run_forever, daemon=True)
+    dispatch.start()
+    yield httpd.server_address[1], data_path, calls
+    batcher.shutdown()
+    httpd.shutdown()
+
+
+def test_concurrent_requests_coalesce(served_batching):
+    """≥2 concurrent requests served correctly through the batching queue
+    (VERDICT round-1 item 10), coalescing into fewer device batches."""
+    import learnablepoolingmethods_tpu.data.tfrecord_io as tio
+
+    port, data_path, calls = served_batching
+    records = list(tio.read_tfrecords(data_path))
+    calls["n"] = 0
+
+    results = [None] * 4
+    errors = []
+
+    def worker(i):
+        try:
+            # one record per request, four requests in flight
+            status, body = _post(
+                port, "/predict", serving.frame_records([records[i]])
+            )
+            assert status == 200, body
+            results[i] = json.loads(body)["predictions"]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+    for i, preds in enumerate(results):
+        assert preds is not None and len(preds) == 1
+        p = preds[0]
+        assert p["video_index"] == 0  # per-request indexing
+        assert len(p["classes"]) == 4 and len(p["scores"]) == 4
+        assert p["scores"] == sorted(p["scores"], reverse=True)
+
+    # 4 single-record requests with a 100 ms linger and batch size 4 must
+    # coalesce into fewer device dispatches than requests
+    assert calls["n"] < 4, f"no coalescing happened ({calls['n']} dispatches)"
+
+    # per-request answers equal the one-shot combined request
+    status, body = _post(port, "/predict", serving.frame_records(records[:4]))
+    combined = json.loads(body)["predictions"]
+    for i in range(4):
+        assert results[i][0]["classes"] == combined[i]["classes"]
+        np.testing.assert_allclose(
+            results[i][0]["scores"], combined[i]["scores"], atol=1e-6
+        )
+
+
+def test_batching_queue_error_isolated(served_batching):
+    """A malformed record fails its own request without killing the loop."""
+    port, data_path, _ = served_batching
+    status, body = _post(port, "/predict", serving.frame_records([b"garbage"]))
+    assert status == 400
+    # the loop survives: a good request still works
+    import learnablepoolingmethods_tpu.data.tfrecord_io as tio
+
+    records = list(tio.read_tfrecords(data_path))
+    status, body = _post(port, "/predict", serving.frame_records(records[:1]))
+    assert status == 200, body
