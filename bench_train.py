@@ -28,6 +28,7 @@ def bench_train(
     bf16_params: bool = False,
     bf16_momentum: bool = False,
     use_remat: bool = False,
+    model_name: str = "NetVLADModelLF",
 ):
     import jax
     import jax.numpy as jnp
@@ -39,7 +40,7 @@ def bench_train(
     from learnablepoolingmethods_tpu.models import create_model
 
     mcfg = ModelConfig(
-        iterations=300,
+        iterations=300 if model_name == "NetVLADModelLF" else 30,
         compute_dtype="bfloat16",
         param_dtype="bfloat16" if bf16_params else "float32",
         fused_train_aggregation=fused_aggregation,
@@ -50,7 +51,7 @@ def bench_train(
         fp32_master=bf16_params,
         use_remat=use_remat,
     )
-    model = create_model("NetVLADModelLF", mcfg)
+    model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
     host_batch = {
         "features": rng.integers(0, 256, size=(batch, 300, 1152), dtype=np.uint8),
@@ -112,6 +113,7 @@ def main():
     ap.add_argument("--bf16_params", action="store_true")
     ap.add_argument("--bf16_momentum", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--model", default="NetVLADModelLF")
     args = ap.parse_args()
     eps, step_s, loss = bench_train(
         args.batch,
@@ -120,11 +122,12 @@ def main():
         bf16_params=args.bf16_params,
         bf16_momentum=args.bf16_momentum,
         use_remat=args.remat,
+        model_name=args.model,
     )
     print(
         json.dumps(
             {
-                "metric": "netvlad256_train_examples_per_sec_per_chip",
+                "metric": f"{args.model}_train_examples_per_sec_per_chip",
                 "value": round(eps, 1),
                 "unit": "examples/sec/chip",
                 "step_ms": round(step_s * 1e3, 2),
