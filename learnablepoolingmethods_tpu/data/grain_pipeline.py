@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob as _glob
 import struct
+import threading
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -69,17 +70,22 @@ class TFRecordRandomAccessSource:
         for fi, path in enumerate(files):
             for off, ln in build_offset_index(path):
                 self._index.append((fi, off, ln))
-        self._handles: Dict[int, Any] = {}
+        # grain's in-process DataLoader prefetches from a thread pool, so a
+        # shared handle's seek→read races between threads (observed: corrupt
+        # records / "unsupported wire type").  Handles are per-thread.
+        self._local = threading.local()
 
     def __len__(self) -> int:
         return len(self._index)
 
     def _read_raw(self, i: int) -> bytes:
         fi, off, ln = self._index[i]
-        fh = self._handles.get(fi)
+        handles = getattr(self._local, "handles", None)
+        if handles is None:
+            handles = self._local.handles = {}
+        fh = handles.get(fi)
         if fh is None:
-            fh = open(self._files[fi], "rb")
-            self._handles[fi] = fh
+            fh = handles[fi] = open(self._files[fi], "rb")
         fh.seek(off)
         return fh.read(ln)
 
@@ -124,11 +130,15 @@ class TFRecordRandomAccessSource:
             "labels": _multi_hot(labels.int64_list if labels else (), self._num_classes),
         }
 
-    # pickling for grain worker processes: drop open handles
+    # pickling for grain worker processes: drop the thread-local handles
     def __getstate__(self):
         state = dict(self.__dict__)
-        state["_handles"] = {}
+        state.pop("_local", None)
         return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
 
 
 def grain_batch_iterator(

@@ -58,12 +58,14 @@ def test_cli_train_inference_roundtrip(workdir):
     train_dir = str(workdir / "td")
     data = str(workdir / "train.tfrecord")
 
-    # train from scratch
+    # train from scratch — through the grain input path (--use_grain) so the
+    # DataLoader wiring is subprocess-tested too (VERDICT round-1 item 6)
     log = _run(
         "learnablepoolingmethods_tpu.train", *COMMON,
         f"--train_data_pattern={data}", f"--train_dir={train_dir}",
         "--num_epochs=2", "--start_new_model", "--export_model_steps=0",
         "--save_checkpoint_every_n_steps=4", "--log_every_n_steps=2",
+        "--use_grain",
     )
     assert "training step" in log and "done; final checkpoint" in log
 

@@ -291,3 +291,35 @@ def test_grain_pipeline_shuffles_deterministically(tmp_path):
     assert a == b  # same seed → same order
     flat = [v for batch in a for v in batch]
     assert sorted(flat) != flat  # actually shuffled
+
+
+def test_grain_source_thread_safe(tmp_path, rng):
+    """grain's in-process DataLoader prefetches on a thread pool; concurrent
+    __getitem__ on a shared file handle raced seek→read and returned corrupt
+    bytes (caught as 'unsupported wire type' in the CLI test).  Handles are
+    now per-thread — hammer the source from many threads and verify every
+    record parses to the same values as a sequential read."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from learnablepoolingmethods_tpu.data.fixtures import write_video_level_fixture
+    from learnablepoolingmethods_tpu.data.grain_pipeline import (
+        TFRecordRandomAccessSource,
+    )
+
+    path = str(tmp_path / "x.tfrecord")
+    write_video_level_fixture(path, 32, num_classes=8, rgb_size=6, audio_size=2)
+    src = TFRecordRandomAccessSource(
+        path, frame_level=False, feature_sizes=(6, 2),
+        feature_names=("mean_rgb", "mean_audio"), num_classes=8,
+    )
+    want = [src[i] for i in range(len(src))]
+
+    def read_all(_):
+        return [src[i] for i in range(len(src))]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for got in pool.map(read_all, range(16)):
+            for g, w in zip(got, want):
+                assert g["video_id"] == w["video_id"]
+                np.testing.assert_array_equal(g["features"], w["features"])
+                np.testing.assert_array_equal(g["labels"], w["labels"])
