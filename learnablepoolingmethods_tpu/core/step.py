@@ -57,23 +57,33 @@ def _is_head_kernel(path) -> bool:
 
 
 def regularization_loss(
-    params, l2_penalty: float, all_kernels: bool = False
+    params,
+    l2_penalty: float,
+    all_kernels: bool = False,
+    moe_l2: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Slim-style L2: l2_penalty · ½·Σ‖w‖².
+    """Slim-style L2: penalty · ½·Σ‖w‖².
 
     Reference behavior (default): only classifier-head FC kernels carry the
     regularizer (ref: video_level_models.py#LogisticModel/#MoeModel
-    weights_regularizer=slim.l2_regularizer).  ``all_kernels=True``
-    (``--l2_reg_all_kernels``) extends it to every matrix param — a
-    rebuild-only option, not reference parity.
+    weights_regularizer=slim.l2_regularizer).  The MoE head uses its own
+    ``--moe_l2`` penalty (defaults equal to ``l2_penalty``).
+    ``all_kernels=True`` (``--l2_reg_all_kernels``) extends ``l2_penalty``
+    to every matrix param — a rebuild-only option, not reference parity.
     """
-    if l2_penalty <= 0:
+    moe_l2 = l2_penalty if moe_l2 is None else moe_l2
+    if l2_penalty <= 0 and moe_l2 <= 0:
         return jnp.zeros((), jnp.float32)
     sq = 0.0
     for path, p in jax.tree_util.tree_flatten_with_path(params)[0]:
-        if p.ndim >= 2 and (all_kernels or _is_head_kernel(path)):
-            sq = sq + jnp.sum(jnp.square(p.astype(jnp.float32)))
-    return l2_penalty * 0.5 * sq
+        keys = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+        if p.ndim < 2:
+            continue
+        if keys[-1] in _HEAD_KERNEL_NAMES:
+            sq = sq + moe_l2 * jnp.sum(jnp.square(p.astype(jnp.float32)))
+        elif all_kernels or _is_head_kernel(path):
+            sq = sq + l2_penalty * jnp.sum(jnp.square(p.astype(jnp.float32)))
+    return 0.5 * sq
 
 
 def weighted_mean(per_example: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
@@ -130,7 +140,10 @@ def make_train_step(
             )
             label_loss = weighted_mean(per_ex, weights)
             reg = regularization_loss(
-                params, mcfg.l2_penalty, all_kernels=mcfg.l2_reg_all_kernels
+                params,
+                mcfg.l2_penalty,
+                all_kernels=mcfg.l2_reg_all_kernels,
+                moe_l2=mcfg.moe_l2,
             )
             reg = reg + out.get("regularization_loss", 0.0)
             total = label_loss + tcfg.regularization_penalty * reg

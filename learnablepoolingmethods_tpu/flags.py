@@ -78,6 +78,9 @@ def define_model_flags():
     flags.DEFINE_integer("netvlad_hidden_size", 1024, "NetVLAD hidden size.")
     flags.DEFINE_bool("netvlad_add_batch_norm", True, "BN in NetVLAD models.")
     flags.DEFINE_bool("netvlad_relu", False, "relu6 after the hidden layer.")
+    flags.DEFINE_integer(
+        "netvlad_dimred", -1, "Learned input dim-reduction width (-1 = off)."
+    )
     flags.DEFINE_bool("gating", True, "Context gating before the classifier.")
     flags.DEFINE_bool("gating_remove_diag", False, "Zero the gating diagonal.")
     flags.DEFINE_integer("fv_cluster_size", 64, "NetFV clusters.")
@@ -188,6 +191,7 @@ def model_config_from_flags() -> ModelConfig:
         netvlad_hidden_size=FLAGS.netvlad_hidden_size,
         netvlad_add_batch_norm=FLAGS.netvlad_add_batch_norm,
         netvlad_relu=FLAGS.netvlad_relu,
+        netvlad_dimred=FLAGS.netvlad_dimred,
         gating=FLAGS.gating,
         gating_remove_diag=FLAGS.gating_remove_diag,
         fv_cluster_size=FLAGS.fv_cluster_size,

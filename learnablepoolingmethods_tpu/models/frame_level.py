@@ -320,6 +320,24 @@ class _LoupeLFBase(_FrameModelBase):
         if add_bn:
             frames = self._input_bn(frames, training)
 
+        if cfg.netvlad_dimred > 0:
+            # learned input dim-reduction (ref: NetVLADModelLF --netvlad_dimred
+            # — a bias-free matmul on the flattened frames; [M]-confidence
+            # placement: after input BN, before the modality pooling; with a
+            # reduced width there is no rgb/audio split anymore).
+            dimred = self.param(
+                "dimred",
+                _normal_init(1.0 / jnp.sqrt(feature_size)),
+                (feature_size, cfg.netvlad_dimred),
+                jnp.dtype(cfg.param_dtype),
+            )
+            frames = jnp.matmul(
+                frames.astype(dtype),
+                dimred.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            feature_size = cfg.netvlad_dimred
+
         cluster_size = self._cluster_size()
         if feature_size > 128:
             rgb_dim = min(1024, feature_size)

@@ -70,3 +70,50 @@ def test_models_are_jittable(rng):
     p2 = fwd(variables, inp + 0.1, nf)
     assert fwd._cache_size() == 1
     assert p1.shape == p2.shape == (B, TINY.vocab_size)
+
+
+def test_netvlad_dimred_path(rng):
+    """--netvlad_dimred inserts a learned bias-free projection before the
+    pooling modules (ref: NetVLADModelLF dimred matmul)."""
+    import jax
+
+    from learnablepoolingmethods_tpu.config import ModelConfig
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.models import create_model
+
+    cfg = ModelConfig(
+        vocab_size=8, iterations=4, netvlad_cluster_size=4,
+        netvlad_hidden_size=8, netvlad_dimred=10,
+    )
+    model = create_model("NetVLADModelLF", cfg)
+    feats = rng.integers(0, 256, size=(2, 6, 24), dtype=np.uint8)
+    nf = np.array([6, 3], np.int32)
+    params, bs = step_lib.init_model_variables(
+        model, {"features": feats, "num_frames": nf}, frame_features=True
+    )
+    assert params["dimred"].shape == (24, 10)
+    x = step_lib.preprocess_input(jnp.asarray(feats))
+    out = model.apply(
+        {"params": params, "batch_stats": bs}, x,
+        num_frames=jnp.asarray(nf), training=False,
+    )["predictions"]
+    assert out.shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_moe_l2_separate_penalty(rng):
+    """--moe_l2 drives the MoE head kernels independently of l2_penalty."""
+    from learnablepoolingmethods_tpu.config import ModelConfig
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.models import create_model
+    import jax
+
+    cfg = ModelConfig(vocab_size=8)
+    model = create_model("MoeModel", cfg)
+    x = rng.normal(size=(2, 12)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    base = float(step_lib.regularization_loss(params, 1.0, moe_l2=1.0))
+    doubled = float(step_lib.regularization_loss(params, 1.0, moe_l2=2.0))
+    np.testing.assert_allclose(doubled, 2 * base, rtol=1e-6)
+    zero = float(step_lib.regularization_loss(params, 1.0, moe_l2=0.0))
+    assert zero == 0.0  # MoeModel has only head kernels
