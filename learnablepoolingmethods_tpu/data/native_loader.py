@@ -25,6 +25,7 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 _SRC = os.path.join(_REPO_ROOT, "native", "tfrecord_reader.cc")
+_SRC_CSV = os.path.join(_REPO_ROOT, "native", "csv_formatter.cc")
 _SO = os.path.join(_REPO_ROOT, "native", "libtfrecord_reader.so")
 
 _lib = None
@@ -33,7 +34,10 @@ ID_WIDTH = 32
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC]
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", _SO, _SRC, _SRC_CSV,
+    ]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -42,9 +46,8 @@ def _load():
     if _lib is not None or _load_error is not None:
         return _lib
     try:
-        if (not os.path.exists(_SO)) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-        ):
+        newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_CSV))
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < newest_src:
             _build()
         lib = ctypes.CDLL(_SO)
         lib.lpm_count_records.restype = ctypes.c_int64
@@ -64,6 +67,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_char_p,
+        ]
+        lib.lpm_format_csv.restype = ctypes.c_int64
+        lib.lpm_format_csv.argtypes = [
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_int64,
         ]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — degrade to the Python parser
@@ -166,6 +175,36 @@ def parse_video_file(
         for i in range(n)
     ]
     return {"features": feats[:n], "labels": labels[:n], "video_id": ids}
+
+
+def format_csv(video_ids, values, indices) -> bytes:
+    """Kaggle CSV lines at C speed (ref: inference.py#format_lines;
+    byte-identical output — see native/csv_formatter.cc).
+
+    video_ids: sequence of bytes/str; values [N, k] float; indices [N, k] int.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_load_error}")
+    values = np.ascontiguousarray(values, np.float32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    n, k = values.shape
+    ids = [v.encode() if isinstance(v, str) else bytes(v) for v in video_ids]
+    id_width = max((len(v) for v in ids), default=1) + 1  # +1 keeps NUL pad
+    packed = bytearray(n * id_width)
+    for i, v in enumerate(ids):
+        packed[i * id_width : i * id_width + len(v)] = v
+    cap = n * (id_width + 2 + k * 26) + 16
+    out = ctypes.create_string_buffer(cap)
+    written = lib.lpm_format_csv(
+        n, k, bytes(packed), id_width,
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out, cap,
+    )
+    if written < 0:
+        raise RuntimeError("csv formatter buffer overflow")
+    return out.raw[:written]
 
 
 def parse_files_parallel(

@@ -119,10 +119,13 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
             step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
         )
 
+    from learnablepoolingmethods_tpu.data import native_loader
+
+    use_native_csv = native_loader.is_available()
     num_examples_processed = 0
     start_time = time.time()
-    with open(out_file_location, "w") as out_file:
-        out_file.write("VideoId,LabelConfidencePairs\n")
+    with open(out_file_location, "wb") as out_file:
+        out_file.write(b"VideoId,LabelConfidencePairs\n")
         for batch_idx, batch in enumerate(
             lpm_flags.input_iterator(data_pattern, batch_size, num_epochs=1)
         ):
@@ -143,9 +146,15 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
             real = w > 0
             num_examples_processed += int(real.sum())
             vids = [v for v, keep in zip(batch["video_id"], real) if keep]
-            out_file.writelines(
-                format_lines(vids, np.asarray(values)[real], np.asarray(indices)[real])
-            )
+            vals_np, idx_np = np.asarray(values)[real], np.asarray(indices)[real]
+            if use_native_csv:
+                # C formatter (native/csv_formatter.cc) — byte-identical to
+                # format_lines, keeps the host side ahead of the device rate
+                out_file.write(native_loader.format_csv(vids, vals_np, idx_np))
+            else:
+                out_file.writelines(
+                    line.encode() for line in format_lines(vids, vals_np, idx_np)
+                )
             elapsed = time.time() - start_time
             logging.info(
                 "num examples processed: %d | elapsed seconds: %.2f (%.1f ex/s)",

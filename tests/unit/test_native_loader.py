@@ -106,3 +106,20 @@ def test_native_parses_tf_written_file(tmp_path):
     np.testing.assert_allclose(out["features"][0], [1, 2, 3, 4, 5, 6])
     assert out["labels"][0][2] == 1 and out["labels"][0][5] == 1
     assert out["video_id"][0] == b"abc"
+
+
+def test_native_csv_formatter_byte_identical(rng):
+    """native/csv_formatter.cc must emit exactly format_lines' bytes
+    (scores %.6f, same int formatting), including negatives and mixed-width
+    video ids."""
+    from learnablepoolingmethods_tpu.data import native_loader
+    from learnablepoolingmethods_tpu.inference import format_lines
+
+    if not native_loader.is_available():
+        pytest.skip(f"native loader unavailable: {native_loader.load_error()}")
+    vids = [b"a", b"longer_video_id_0123", "strid42", b"x" * 31]
+    vals = (rng.random((4, 5)) * 2 - 1).astype(np.float32)
+    idxs = rng.integers(0, 4000, size=(4, 5)).astype(np.int32)
+    want = "".join(format_lines(vids, vals, idxs)).encode()
+    got = native_loader.format_csv(vids, vals, idxs)
+    assert got == want
