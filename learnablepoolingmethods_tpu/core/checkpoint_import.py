@@ -71,6 +71,42 @@ _LEAF_NAMES: Dict[str, List[str]] = {
 _BN_PARAM = {"scale": "gamma", "bias": "beta"}
 _BN_STATS = {"mean": "moving_mean", "var": "moving_variance"}
 
+# TF BasicLSTMCell fuses all four gates into one [D+H, 4H] kernel in the
+# order (i, j=g, f, o); flax OptimizedLSTMCell keeps per-gate Dense modules
+# (i-side kernels without bias, h-side with).  Column block per flax gate:
+_LSTM_GATE_COL = {"i": 0, "g": 1, "f": 2, "o": 3}
+_LSTM_GATE_COL_KEYS = ("ii", "if", "ig", "io", "hi", "hf", "hg", "ho")
+# TF adds forget_bias=1.0 to the f pre-activation at runtime; flax has no
+# such constant, so the imported hf/bias absorbs it.
+_LSTM_FORGET_BIAS = 1.0
+
+
+def _lstm_scope_candidates(layer: int) -> List[str]:
+    """Reference variable scopes for stacked-cell layer ``layer``
+    (ref: LstmModel — MultiRNNCell under dynamic_rnn's "rnn" scope)."""
+    cell = f"multi_rnn_cell/cell_{layer}/basic_lstm_cell"
+    return [f"RNN/rnn/{cell}", f"rnn/{cell}", f"RNN/{cell}", cell]
+
+
+def _lstm_transform(gate: str, leaf_name: str):
+    """ref fused tensor → the flax per-gate slice."""
+    side, g = gate[0], gate[1]
+    col = _LSTM_GATE_COL[g]
+
+    def fn(ref: np.ndarray) -> np.ndarray:
+        h = ref.shape[-1] // 4
+        block = ref[..., col * h : (col + 1) * h]
+        if leaf_name == "bias":
+            out = np.array(block)
+            if g == "f":
+                out = out + _LSTM_FORGET_BIAS
+            return out
+        d = ref.shape[0] - h
+        out = block[:d] if side == "i" else block[d:]
+        return np.array(out)
+
+    return fn
+
 
 def _moe_gates_from_ref(ref: np.ndarray, vocab: int) -> np.ndarray:
     """[D, V·(M+1)] mixture-major → [D, (M+1)·V] vocab-major."""
@@ -103,6 +139,18 @@ def _candidates_for_leaf(
     """
     *scope_keys, leaf = keys
     ident = lambda a: a  # noqa: E731
+
+    # stacked LSTM cells: OptimizedLSTMCell_{l}/{ii,if,ig,io,hi,hf,hg,ho}/...
+    if (
+        len(scope_keys) >= 2
+        and scope_keys[-2].startswith("OptimizedLSTMCell_")
+        and scope_keys[-1] in _LSTM_GATE_COL_KEYS
+        and leaf in ("kernel", "bias")
+    ):
+        layer = int(scope_keys[-2].rsplit("_", 1)[1])
+        ref_leaf = "kernel" if leaf == "kernel" else "bias"
+        names = [s + "/" + ref_leaf for s in _lstm_scope_candidates(layer)]
+        return names, _lstm_transform(scope_keys[-1], leaf), False
 
     # translate flax submodule scopes to reference variable scopes
     prefixes: List[str] = [""]
@@ -290,10 +338,21 @@ def export_reference_layout(params, batch_stats, vocab: int) -> Dict[str, np.nda
     import jax
 
     out: Dict[str, np.ndarray] = {}
+    lstm_cells: Dict[int, Dict[str, np.ndarray]] = {}
 
     def dump(tree, is_stats: bool):
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             keys = _path_str(path)
+            if (
+                len(keys) >= 3
+                and keys[-3].startswith("OptimizedLSTMCell_")
+                and keys[-2] in _LSTM_GATE_COL_KEYS
+            ):
+                layer = int(keys[-3].rsplit("_", 1)[1])
+                lstm_cells.setdefault(layer, {})[keys[-2] + "/" + keys[-1]] = (
+                    np.asarray(leaf, np.float32)
+                )
+                continue
             names, transform, _ = _candidates_for_leaf(keys, is_stats, vocab)
             val = np.asarray(leaf, np.float32)
             # invert the MoE relabeling (it is its own family of inverses)
@@ -309,4 +368,24 @@ def export_reference_layout(params, batch_stats, vocab: int) -> Dict[str, np.nda
 
     dump(params, False)
     dump(batch_stats, True)
+
+    # reassemble per-gate LSTM leaves into the TF fused [D+H, 4H] kernel and
+    # [4H] bias (inverse of _lstm_transform; forget_bias removed)
+    for layer, leaves in lstm_cells.items():
+        h = leaves["hi/kernel"].shape[0]
+        k_cols, b_parts = [], []
+        for g in ("i", "g", "f", "o"):
+            k_cols.append(
+                np.concatenate(
+                    [leaves[f"i{g}/kernel"], leaves[f"h{g}/kernel"]], axis=0
+                )
+            )
+            b = np.array(leaves[f"h{g}/bias"])
+            if g == "f":
+                b = b - _LSTM_FORGET_BIAS
+            b_parts.append(b)
+        out[_lstm_scope_candidates(layer)[0] + "/kernel"] = np.concatenate(
+            k_cols, axis=1
+        )
+        out[_lstm_scope_candidates(layer)[0] + "/bias"] = np.concatenate(b_parts)
     return out

@@ -140,3 +140,80 @@ def test_import_strict_missing_raises(rng, tmp_path):
         {}, "LogisticModel", CFG, batch, frame_features=False, strict=False
     )
     chex.assert_trees_all_close(jax.device_get(params), got, atol=1e-6)
+
+
+def test_import_lstm_roundtrip(rng, tmp_path):
+    """Per-gate flax leaves ↔ TF fused [D+H,4H] kernel (gate order i,j,f,o;
+    forget_bias folded into hf/bias)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, lstm_cells=6, lstm_layers=2)
+    model = create_model("LstmModel", cfg)
+    batch = {
+        "features": rng.integers(0, 256, size=(2, 5, 24), dtype=np.uint8),
+        "num_frames": np.array([5, 3], np.int32),
+    }
+    params, bs = step_lib.init_model_variables(model, batch, True)
+    ref_vars = ci.export_reference_layout(params, bs, cfg.vocab_size)
+    assert "RNN/rnn/multi_rnn_cell/cell_0/basic_lstm_cell/kernel" in ref_vars
+    ckpt = os.path.join(str(tmp_path), "lstm.ckpt")
+    _write_tf1_checkpoint(ref_vars, ckpt, "tower/")
+    got_params, got_bs = ci.import_reference_checkpoint(
+        ckpt, "LstmModel", cfg, batch, frame_features=True
+    )
+    chex.assert_trees_all_close(jax.device_get(params), got_params, atol=1e-6)
+
+
+def test_lstm_gate_mapping_matches_tf_cell(rng):
+    """Golden: random fused BasicLSTMCell weights run through a NumPy
+    transcription of the TF cell (concat[x,h]@K+b; i,j,f,o split;
+    c' = c·σ(f+forget_bias) + σ(i)·tanh(j); h' = tanh(c')·σ(o)), then the
+    importer's gate transform maps them into flax's OptimizedLSTMCell —
+    hidden states must agree (proves gate order and forget_bias handling,
+    not just invertibility).  TF 2.21 dropped compat.v1.nn.rnn_cell, so the
+    transcription is the oracle, per the repo golden-test convention."""
+    import flax.linen as nn
+
+    d, h, t, b = 5, 4, 6, 3
+    kernel = rng.normal(size=(d + h, 4 * h)).astype(np.float32) * 0.5
+    bias = rng.normal(size=(4 * h,)).astype(np.float32) * 0.1
+    x = rng.normal(size=(b, t, d)).astype(np.float32)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    c = np.zeros((b, h), np.float32)
+    hh = np.zeros((b, h), np.float32)
+    ref_outs = []
+    for step in range(t):
+        concat = np.concatenate([x[:, step], hh], axis=1) @ kernel + bias
+        i, j, f, o = np.split(concat, 4, axis=1)
+        c = c * sigmoid(f + 1.0) + sigmoid(i) * np.tanh(j)
+        hh = np.tanh(c) * sigmoid(o)
+        ref_outs.append(hh.copy())
+
+    fused = {"kernel": kernel, "bias": bias}
+    flax_cell = nn.OptimizedLSTMCell(features=h)
+    new_params = {}
+    for gate in ("ii", "if", "ig", "io"):
+        new_params[gate] = {
+            "kernel": ci._lstm_transform(gate, "kernel")(fused["kernel"])
+        }
+    for gate in ("hi", "hf", "hg", "ho"):
+        new_params[gate] = {
+            "kernel": ci._lstm_transform(gate, "kernel")(fused["kernel"]),
+            "bias": ci._lstm_transform(gate, "bias")(fused["bias"]),
+        }
+
+    carry = (jnp.zeros((b, h)), jnp.zeros((b, h)))
+    flax_outs = []
+    for step in range(t):
+        carry, y = flax_cell.apply(
+            {"params": new_params}, carry, jnp.asarray(x[:, step])
+        )
+        flax_outs.append(np.asarray(y))
+    np.testing.assert_allclose(
+        np.stack(flax_outs, axis=1),
+        np.stack(ref_outs, axis=1),
+        atol=1e-5,
+    )
