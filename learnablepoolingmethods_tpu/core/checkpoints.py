@@ -44,18 +44,44 @@ class CheckpointManager:
         step = self._mngr.latest_step()
         if step is None:
             return None
+        return self.restore(step, abstract_tree)
+
+    def restore(self, step: int, abstract_tree: Any = None) -> Any:
+        """Restore a step onto the CURRENT backend's devices.
+
+        Without an abstract tree orbax replays the shardings recorded at
+        save time, which fails when the saving and restoring topologies
+        differ (train on CPU/one slice, infer on the TPU — 'Device
+        TFRT_CPU_0 was not found').  We rebuild the abstract tree from the
+        checkpoint's own metadata so arrays land on the default device of
+        whatever backend is restoring."""
+        if abstract_tree is None:
+            abstract_tree = self._abstract_from_metadata(step)
         if abstract_tree is not None:
             return self._mngr.restore(
                 step, args=ocp.args.StandardRestore(abstract_tree)
             )
         return self._mngr.restore(step)
 
-    def restore(self, step: int, abstract_tree: Any = None) -> Any:
-        if abstract_tree is not None:
-            return self._mngr.restore(
-                step, args=ocp.args.StandardRestore(abstract_tree)
+    def _abstract_from_metadata(self, step: int):
+        try:
+            meta = ocp.StandardCheckpointer().metadata(
+                os.path.join(self._dir, str(step), "default")
             )
-        return self._mngr.restore(step)
+            tree = getattr(meta, "item_metadata", meta)
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+            def to_abstract(m):
+                shape = getattr(m, "shape", None)
+                dtype = getattr(m, "dtype", None)
+                if shape is None or dtype is None:
+                    return m
+                return jax.ShapeDtypeStruct(tuple(shape), dtype, sharding=sharding)
+
+            abstract = jax.tree.map(to_abstract, dict(tree.tree))
+            return abstract
+        except Exception:  # noqa: BLE001 — fall back to orbax's default path
+            return None
 
     def close(self):
         self._mngr.close()

@@ -49,6 +49,13 @@ def define_data_flags():
         0,
         "grain worker processes (0 = parse in-process).",
     )
+    flags.DEFINE_string(
+        "packed_cache_dir",
+        "",
+        "Pre-parse the TFRecords once into memmapped packed arrays here and "
+        "read batches from the cache (data/packed_cache.py) — removes proto "
+        "parsing from the hot path entirely.",
+    )
 
 
 def define_model_flags():
@@ -277,6 +284,28 @@ def input_iterator(
     from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
 
     fcfg = feature_config_from_flags()
+    if FLAGS.packed_cache_dir:
+        from learnablepoolingmethods_tpu.data import packed_cache
+
+        cache_dir = packed_cache.build_cache(
+            data_pattern,
+            FLAGS.packed_cache_dir,
+            frame_level=fcfg.frame_features,
+            feature_sizes=fcfg.feature_sizes,
+            feature_names=fcfg.feature_names,
+            num_classes=FLAGS.num_classes,
+            max_frames=fcfg.max_frames,
+            num_workers=FLAGS.num_readers,
+        )
+        return packed_cache.packed_batch_iterator(
+            cache_dir,
+            batch_size,
+            num_epochs=num_epochs,
+            shuffle=shuffle,
+            seed=seed,
+            shard_index=jax.process_index() if shard_by_process else 0,
+            num_shards=jax.process_count() if shard_by_process else 1,
+        )
     if FLAGS.use_grain:
         from learnablepoolingmethods_tpu.data.grain_pipeline import (
             grain_batch_iterator,

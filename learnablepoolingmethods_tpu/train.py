@@ -95,7 +95,7 @@ class Trainer:
         num_epochs = tcfg.num_epochs if tcfg.num_epochs > 0 else None
         if FLAGS.use_grain and FLAGS.use_native_reader:
             raise ValueError("--use_grain and --use_native_reader are exclusive")
-        if FLAGS.use_grain:
+        if FLAGS.use_grain or FLAGS.packed_cache_dir:
             batches = lpm_flags.input_iterator(
                 FLAGS.train_data_pattern,
                 tcfg.batch_size,
