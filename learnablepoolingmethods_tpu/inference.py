@@ -18,6 +18,9 @@ from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
 from learnablepoolingmethods_tpu.core import step as step_lib
 from learnablepoolingmethods_tpu.models import create_model
 from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+# format_lines lives in utils/misc.py (flag-free import for tests/tools);
+# re-exported here to keep the reference module surface
+from learnablepoolingmethods_tpu.utils.misc import format_lines
 
 FLAGS = flags.FLAGS
 
@@ -42,15 +45,6 @@ def define_flags():
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
-
-
-def format_lines(video_ids, top_values, top_indices):
-    """Kaggle CSV lines (ref: inference.py#format_lines)."""
-    for vid, values, indices in zip(video_ids, top_values, top_indices):
-        pairs = " ".join(
-            f"{int(idx)} {float(val):.6f}" for idx, val in zip(indices, values)
-        )
-        yield f"{vid.decode() if isinstance(vid, bytes) else vid},{pairs}\n"
 
 
 def inference(reader, train_dir, data_pattern, out_file_location, batch_size, top_k):

@@ -21,3 +21,17 @@ def get_list_of_feature_names_and_sizes(
             f"length of feature_sizes ({len(sizes)})"
         )
     return names, sizes
+
+
+def format_lines(video_ids, top_values, top_indices):
+    """Kaggle CSV lines (ref: inference.py#format_lines).
+
+    Lives here (flag-free module) so tests and tools can import it without
+    pulling in the inference CLI's absl flag definitions; the C-speed twin
+    is native/csv_formatter.cc (byte-identical output).
+    """
+    for vid, values, indices in zip(video_ids, top_values, top_indices):
+        pairs = " ".join(
+            f"{int(idx)} {float(val):.6f}" for idx, val in zip(indices, values)
+        )
+        yield f"{vid.decode() if isinstance(vid, bytes) else vid},{pairs}\n"

@@ -113,7 +113,7 @@ def test_native_csv_formatter_byte_identical(rng):
     (scores %.6f, same int formatting), including negatives and mixed-width
     video ids."""
     from learnablepoolingmethods_tpu.data import native_loader
-    from learnablepoolingmethods_tpu.inference import format_lines
+    from learnablepoolingmethods_tpu.utils.misc import format_lines
 
     if not native_loader.is_available():
         pytest.skip(f"native loader unavailable: {native_loader.load_error()}")
