@@ -117,3 +117,36 @@ def test_moe_l2_separate_penalty(rng):
     np.testing.assert_allclose(doubled, 2 * base, rtol=1e-6)
     zero = float(step_lib.regularization_loss(params, 1.0, moe_l2=0.0))
     assert zero == 0.0  # MoeModel has only head kernels
+
+
+@pytest.mark.parametrize(
+    "name", ["TransformerEncoderModel", "AttentionPoolingModel", "AttentionNetVLADModel"]
+)
+def test_attention_models_ignore_padded_frames(name, rng):
+    """Config-5 masking property: content of frames >= num_frames must not
+    change predictions (the attention mask + masked pooling cover them)."""
+    import jax
+
+    from learnablepoolingmethods_tpu.core import step as step_lib
+
+    model = create_model(name, TINY)
+    nf = np.array([5, 3], np.int32)
+    feats_a = rng.normal(size=(2, 8, 12)).astype(np.float32)
+    feats_b = feats_a.copy()
+    for i, n in enumerate(nf):
+        feats_b[i, n:] = rng.normal(size=(8 - n, 12)).astype(np.float32) * 5
+
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        jnp.asarray(feats_a), num_frames=jnp.asarray(nf), training=True,
+    )
+
+    def run(x):
+        return np.asarray(
+            model.apply(
+                variables, jnp.asarray(x), num_frames=jnp.asarray(nf),
+                training=False,
+            )["predictions"]
+        )
+
+    np.testing.assert_allclose(run(feats_a), run(feats_b), atol=1e-5)
