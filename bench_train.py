@@ -29,6 +29,7 @@ def bench_train(
     bf16_momentum: bool = False,
     use_remat: bool = False,
     model_name: str = "NetVLADModelLF",
+    optimizer: str = "AdamOptimizer",
 ):
     import jax
     import jax.numpy as jnp
@@ -50,6 +51,7 @@ def bench_train(
         adam_bf16_momentum=bf16_momentum,
         fp32_master=bf16_params,
         use_remat=use_remat,
+        optimizer=optimizer,
     )
     model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
@@ -114,6 +116,7 @@ def main():
     ap.add_argument("--bf16_momentum", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--model", default="NetVLADModelLF")
+    ap.add_argument("--optimizer", default="AdamOptimizer")
     args = ap.parse_args()
     eps, step_s, loss = bench_train(
         args.batch,
@@ -123,6 +126,7 @@ def main():
         bf16_momentum=args.bf16_momentum,
         use_remat=args.remat,
         model_name=args.model,
+        optimizer=args.optimizer,
     )
     print(
         json.dumps(
@@ -135,6 +139,7 @@ def main():
                 "fused": args.fused,
                 "bf16_params": args.bf16_params,
                 "bf16_momentum": args.bf16_momentum,
+                "optimizer": args.optimizer,
                 "final_loss": round(loss, 4),
             }
         )

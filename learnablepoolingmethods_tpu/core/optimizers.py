@@ -27,6 +27,13 @@ _OPTIMIZERS = {
     "GradientDescentOptimizer": optax.sgd,
     "SgdOptimizer": optax.sgd,
     "MomentumOptimizer": lambda lr: optax.sgd(lr, momentum=0.9),
+    # rebuild-only: the Adam update is HBM-bound (~24 bytes/param/step at
+    # the measured bandwidth floor); Adafactor's factored second moment
+    # shrinks optimizer state ~3x for the 278528x1024 hidden FC that is 96%
+    # of the Willow model's params.
+    "AdafactorOptimizer": lambda lr: optax.adafactor(
+        lr, min_dim_size_to_factor=128
+    ),
 }
 
 _ADAM_BF16 = lambda lr: optax.adam(lr, mu_dtype=jnp.bfloat16)

@@ -111,3 +111,37 @@ def test_per_leaf_clip(rng):
         float(jnp.linalg.norm(u["a"])), 1.0, rtol=1e-6
     )  # clipped to unit norm
     np.testing.assert_allclose(np.asarray(u["b"]), np.asarray(g["b"]))  # untouched
+
+
+def test_adafactor_option_trains(rng):
+    """Rebuild-only AdafactorOptimizer: factored second moment, step runs,
+    loss decreases on a learnable problem."""
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import ModelConfig
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+    from learnablepoolingmethods_tpu.models import create_model
+
+    mcfg = ModelConfig(vocab_size=8)
+    tcfg = TrainingConfig(
+        batch_size=16, optimizer="AdafactorOptimizer", base_learning_rate=0.05
+    )
+    model = create_model("LogisticModel", mcfg)
+    w = rng.normal(size=(12, 8)).astype(np.float32)
+    x = rng.normal(size=(16, 12)).astype(np.float32)
+    batch = {
+        "features": x,
+        "labels": (x @ w > 0.5).astype(np.float32),
+        "weights": np.ones(16, np.float32),
+    }
+    params, bs = step_lib.init_model_variables(model, batch, False)
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    step_fn = jax.jit(
+        step_lib.make_train_step(model, losses.CrossEntropyLoss(), tcfg, mcfg, False)
+    )
+    losses_seen = []
+    for _ in range(12):
+        state, m = step_fn(state, batch, jax.random.key(0))
+        losses_seen.append(float(m["loss"]))
+    assert all(np.isfinite(losses_seen))
+    assert losses_seen[-1] < losses_seen[0]
