@@ -42,6 +42,12 @@ def define_flags():
         "Run inference from a reference-trained TF checkpoint (TF1 Saver "
         "format) instead of --train_dir (core/checkpoint_import.py).",
     )
+    flags.DEFINE_integer(
+        "pipeline_depth",
+        2,
+        "Batches kept in flight before fetching results — overlaps host "
+        "parse/format and transfers with device compute (1 = synchronous).",
+    )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
     lpm_flags.define_training_flags()
@@ -113,11 +119,37 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
             step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
         )
 
+    from collections import deque
+
     from learnablepoolingmethods_tpu.data import native_loader
 
     use_native_csv = native_loader.is_available()
+    depth = max(int(getattr(FLAGS, "pipeline_depth", 1)), 1)
     num_examples_processed = 0
     start_time = time.time()
+    in_flight: deque = deque()
+
+    def flush_one(out_file):
+        nonlocal num_examples_processed
+        vids, real, values, indices = in_flight.popleft()
+        # np.asarray blocks until the device results are ready
+        vals_np, idx_np = np.asarray(values)[real], np.asarray(indices)[real]
+        num_examples_processed += int(real.sum())
+        if use_native_csv:
+            # C formatter (native/csv_formatter.cc) — byte-identical to
+            # format_lines, keeps the host side ahead of the device rate
+            out_file.write(native_loader.format_csv(vids, vals_np, idx_np))
+        else:
+            out_file.writelines(
+                line.encode() for line in format_lines(vids, vals_np, idx_np)
+            )
+        elapsed = time.time() - start_time
+        logging.info(
+            "num examples processed: %d | elapsed seconds: %.2f (%.1f ex/s)",
+            num_examples_processed, elapsed,
+            num_examples_processed / max(elapsed, 1e-9),
+        )
+
     with open(out_file_location, "wb") as out_file:
         out_file.write(b"VideoId,LabelConfidencePairs\n")
         for batch_idx, batch in enumerate(
@@ -135,26 +167,18 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
                 if "num_frames" in batch
                 else None
             )
+            # dispatch is async: queue the result futures and only block on
+            # them once `depth` batches are in flight — host parse/format of
+            # batch i overlaps device compute of batches i+1..i+depth
             values, indices = predict_step(params, batch_stats, feats, nf, rng_key)
             w = np.asarray(batch["weights"])
             real = w > 0
-            num_examples_processed += int(real.sum())
             vids = [v for v, keep in zip(batch["video_id"], real) if keep]
-            vals_np, idx_np = np.asarray(values)[real], np.asarray(indices)[real]
-            if use_native_csv:
-                # C formatter (native/csv_formatter.cc) — byte-identical to
-                # format_lines, keeps the host side ahead of the device rate
-                out_file.write(native_loader.format_csv(vids, vals_np, idx_np))
-            else:
-                out_file.writelines(
-                    line.encode() for line in format_lines(vids, vals_np, idx_np)
-                )
-            elapsed = time.time() - start_time
-            logging.info(
-                "num examples processed: %d | elapsed seconds: %.2f (%.1f ex/s)",
-                num_examples_processed, elapsed,
-                num_examples_processed / max(elapsed, 1e-9),
-            )
+            in_flight.append((vids, real, values, indices))
+            if len(in_flight) >= depth:
+                flush_one(out_file)
+        while in_flight:
+            flush_one(out_file)
     logging.info("done; wrote %s", out_file_location)
 
 
