@@ -152,17 +152,26 @@ def _candidates_for_leaf(
         names = [s + "/" + ref_leaf for s in _lstm_scope_candidates(layer)]
         return names, _lstm_transform(scope_keys[-1], leaf), False
 
+    # batch-norm leaves live under a "*_bn" flax scope (input_bn, cluster_bn,
+    # hidden1_bn, gating_bn); a plain Dense "bias" (e.g. fc/bias) must NOT
+    # route here (review finding: it mapped to "fc/beta" instead of
+    # "fully_connected/biases")
+    is_bn = (
+        (leaf in _BN_PARAM or leaf in _BN_STATS)
+        and scope_keys
+        and scope_keys[-1].endswith("_bn")
+    )
+
     # translate flax submodule scopes to reference variable scopes
     prefixes: List[str] = [""]
-    for sk in scope_keys[:-1] if leaf in _BN_PARAM or leaf in _BN_STATS else scope_keys:
+    for sk in scope_keys[:-1] if is_bn else scope_keys:
         cands = _MODULE_SCOPES.get(sk, [sk])
         prefixes = [
             (p + c + "/") if c else p for p in prefixes for c in cands
         ]
 
-    # batch-norm leaves: last scope key is the BN scope name (e.g. cluster_bn)
-    if leaf in _BN_PARAM or leaf in _BN_STATS:
-        bn_scope = scope_keys[-1] if scope_keys else ""
+    if is_bn:
+        bn_scope = scope_keys[-1]
         ref_leaf = (_BN_STATS if is_stats else _BN_PARAM)[leaf]
         names = [p + bn_scope + "/" + ref_leaf for p in prefixes]
         # slim batch_norm defaults to scale=False → gamma may be absent

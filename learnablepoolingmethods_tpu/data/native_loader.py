@@ -194,7 +194,7 @@ def format_csv(video_ids, values, indices) -> bytes:
     packed = bytearray(n * id_width)
     for i, v in enumerate(ids):
         packed[i * id_width : i * id_width + len(v)] = v
-    cap = n * (id_width + 2 + k * 26) + 16
+    cap = n * (id_width + 2 + k * 56) + 16
     out = ctypes.create_string_buffer(cap)
     written = lib.lpm_format_csv(
         n, k, bytes(packed), id_width,
@@ -202,6 +202,10 @@ def format_csv(video_ids, values, indices) -> bytes:
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out, cap,
     )
+    if written == -2:
+        raise ValueError(
+            "csv formatter: score magnitude too large to format (>= ~1e32)"
+        )
     if written < 0:
         raise RuntimeError("csv formatter buffer overflow")
     return out.raw[:written]

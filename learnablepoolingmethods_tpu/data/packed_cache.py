@@ -38,6 +38,45 @@ def _fingerprint(files) -> list:
     return [[os.path.basename(f), os.path.getsize(f)] for f in sorted(files)]
 
 
+def _count_records(files) -> int:
+    """Framing-only record count across files (native when available)."""
+    from learnablepoolingmethods_tpu.data import native_loader
+
+    if native_loader.is_available():
+        return sum(native_loader.count_records(f) for f in files)
+    from learnablepoolingmethods_tpu.data.grain_pipeline import build_offset_index
+
+    return sum(len(build_offset_index(f)) for f in files)
+
+
+def is_fresh(output_dir: str, data_pattern: str) -> bool:
+    """True when a complete cache with a matching source fingerprint exists."""
+    meta_path = os.path.join(output_dir, _META)
+    if not os.path.exists(meta_path):
+        return False
+    files = sorted(_glob.glob(data_pattern))
+    with open(meta_path) as f:
+        return json.load(f).get("fingerprint") == _fingerprint(files)
+
+
+def wait_for_cache(
+    output_dir: str, data_pattern: str, timeout_s: float = 1800.0
+) -> str:
+    """Block until another process finishes building the cache (multi-host:
+    only process 0 builds; the rest wait on meta.json — review finding: an
+    unguarded concurrent build corrupts the arrays)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        if is_fresh(output_dir, data_pattern):
+            return output_dir
+        _time.sleep(2.0)
+    raise TimeoutError(
+        f"packed cache at {output_dir} not built within {timeout_s:.0f}s"
+    )
+
+
 def build_cache(
     data_pattern: str,
     output_dir: str,
@@ -67,8 +106,25 @@ def build_cache(
         feature_names = ("rgb", "audio") if frame_level else ("mean_rgb", "mean_audio")
     os.makedirs(output_dir, exist_ok=True)
 
-    feats_list, nf_list, ids, label_idx, label_off = [], [], [], [], [0]
-    # one big pass through the (native when available) per-file parser
+    # two-pass build: count first (cheap framing scan), then STREAM batches
+    # straight into a disk-backed memmap — peak RAM stays one batch, not the
+    # whole dataset (a 100k-video frame cache is ~35 GB; review finding)
+    n_total = _count_records(files)
+    total_dim = int(sum(feature_sizes))
+    if frame_level:
+        feat_shape = (n_total, int(max_frames), total_dim)
+        feat_dtype = np.uint8
+    else:
+        feat_shape = (n_total, total_dim)
+        feat_dtype = np.float32
+    features = np.lib.format.open_memmap(
+        os.path.join(output_dir, "features.npy"),
+        mode="w+", dtype=feat_dtype, shape=feat_shape,
+    )
+    num_frames = np.zeros(n_total, np.int32) if frame_level else None
+    ids: list = []
+    label_idx, label_off = [], [0]
+    row = 0
     for batch in pipeline.native_batch_iterator(
         data_pattern,
         batch_size=256,
@@ -82,19 +138,22 @@ def build_cache(
         num_workers=num_workers,
         pad_final_batch=False,
     ):
-        feats_list.append(batch["features"])
+        b = batch["features"].shape[0]
+        features[row : row + b] = batch["features"].astype(feat_dtype)
         if frame_level:
-            nf_list.append(batch["num_frames"])
+            num_frames[row : row + b] = batch["num_frames"]
         ids.extend(batch["video_id"])
-        for row in batch["labels"]:
-            nz = np.nonzero(row > 0)[0].astype(np.int32)
+        for lab in batch["labels"]:
+            nz = np.nonzero(lab > 0)[0].astype(np.int32)
             label_idx.append(nz)
             label_off.append(label_off[-1] + len(nz))
+        row += b
+    assert row == n_total, f"record count drifted: scanned {n_total}, read {row}"
+    features.flush()
+    del features
 
-    features = np.concatenate(feats_list)
-    np.save(os.path.join(output_dir, "features.npy"), features)
     if frame_level:
-        np.save(os.path.join(output_dir, "num_frames.npy"), np.concatenate(nf_list))
+        np.save(os.path.join(output_dir, "num_frames.npy"), num_frames)
     width = max((len(v) for v in ids), default=1)
     np.save(
         os.path.join(output_dir, "video_ids.npy"),
@@ -110,13 +169,15 @@ def build_cache(
     )
     meta = {
         "fingerprint": fp,
-        "num_examples": int(features.shape[0]),
+        "num_examples": int(n_total),
         "frame_level": frame_level,
         "num_classes": int(num_classes),
         "feature_sizes": list(feature_sizes),
         "feature_names": list(feature_names),
         "max_frames": int(max_frames),
     }
+    # meta.json LAST: its presence (with a matching fingerprint) marks the
+    # cache complete — readers and concurrent builders key off it
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return output_dir
@@ -188,8 +249,10 @@ def packed_batch_iterator(
         order = rng.permutation(indices_all) if shuffle else indices_all
         for start in range(0, len(order), batch_size):
             sel = order[start : start + batch_size]
-            if len(sel) > 1 and sel[-1] - sel[0] == len(sel) - 1:
-                # contiguous run → plain slice, no fancy-indexing gather
+            if len(sel) > 1 and bool(np.all(np.diff(sel) == 1)):
+                # contiguous ascending run → plain slice (zero-copy view);
+                # endpoints alone are NOT sufficient — a permutation like
+                # [5, 99, 7] has matching endpoints but is not contiguous
                 feats = np.asarray(cache.features[sel[0] : sel[-1] + 1])
             else:
                 feats = np.asarray(cache.features[sel])

@@ -60,7 +60,7 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
-def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
+def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
     mesh = mesh_lib.create_mesh()
     n_dev = np.prod(mesh.devices.shape)
     repl = mesh_lib.replicated_sharding(mesh)
@@ -97,7 +97,10 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
                 f"got {FLAGS.model!r}"
             )
 
-        def _fast_eval_step(params, batch_stats, batch, rng=None):
+        def _fast_eval_step(fp, params, batch_stats, batch, rng=None):
+            # fp is an ARGUMENT, never a closure constant: closed-over
+            # weight trees inline into the HLO and blow the remote-compile
+            # payload (CLAUDE.md environment rules; HTTP 413)
             predictions = fast_fwd(
                 fp,
                 batch["features"],
@@ -113,7 +116,10 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
             )
             return {"predictions": predictions, "loss": loss, "partials": partials}
 
-        eval_step = jax.jit(_fast_eval_step)
+        _fast_jit = jax.jit(_fast_eval_step)
+
+        def eval_step(params, batch_stats, batch, rng=None):
+            return _fast_jit(fp, params, batch_stats, batch, rng)
     else:
         eval_step = jax.jit(
             step_lib.make_eval_step(
@@ -195,7 +201,6 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, reader, fcfg, mcfg):
 def evaluation_loop():
     fcfg = lpm_flags.feature_config_from_flags()
     mcfg = lpm_flags.model_config_from_flags()
-    reader = lpm_flags.make_reader(fcfg, mcfg.vocab_size)
     model = create_model(FLAGS.model, mcfg)
     loss_obj = lpm_flags.get_loss_by_name(FLAGS.label_loss)
 
@@ -206,7 +211,7 @@ def evaluation_loop():
             FLAGS.reference_checkpoint, FLAGS.model, mcfg, fcfg
         )
         logging.info("imported reference checkpoint %s", FLAGS.reference_checkpoint)
-        return evaluate_checkpoint(0, tree, model, loss_obj, reader, fcfg, mcfg)
+        return evaluate_checkpoint(0, tree, model, loss_obj, fcfg, mcfg)
 
     mngr = ckpt_lib.CheckpointManager(FLAGS.train_dir)
     writer = observability.MetricWriter(FLAGS.train_dir + "/eval")
@@ -218,7 +223,7 @@ def evaluation_loop():
         elif step_num != last_step:
             tree = mngr.restore(step_num)
             info = evaluate_checkpoint(
-                step_num, tree, model, loss_obj, reader, fcfg, mcfg
+                step_num, tree, model, loss_obj, fcfg, mcfg
             )
             writer.epoch_summary(step_num, info)
             writer.flush()

@@ -284,19 +284,28 @@ def input_iterator(
     from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
 
     fcfg = feature_config_from_flags()
+    if FLAGS.packed_cache_dir and FLAGS.use_grain:
+        raise ValueError("--packed_cache_dir and --use_grain are exclusive")
     if FLAGS.packed_cache_dir:
         from learnablepoolingmethods_tpu.data import packed_cache
 
-        cache_dir = packed_cache.build_cache(
-            data_pattern,
-            FLAGS.packed_cache_dir,
-            frame_level=fcfg.frame_features,
-            feature_sizes=fcfg.feature_sizes,
-            feature_names=fcfg.feature_names,
-            num_classes=FLAGS.num_classes,
-            max_frames=fcfg.max_frames,
-            num_workers=FLAGS.num_readers,
-        )
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # only process 0 builds; concurrent builders into one dir corrupt
+            # the arrays — the rest wait for the completed meta.json
+            cache_dir = packed_cache.wait_for_cache(
+                FLAGS.packed_cache_dir, data_pattern
+            )
+        else:
+            cache_dir = packed_cache.build_cache(
+                data_pattern,
+                FLAGS.packed_cache_dir,
+                frame_level=fcfg.frame_features,
+                feature_sizes=fcfg.feature_sizes,
+                feature_names=fcfg.feature_names,
+                num_classes=FLAGS.num_classes,
+                max_frames=fcfg.max_frames,
+                num_workers=FLAGS.num_readers,
+            )
         return packed_cache.packed_batch_iterator(
             cache_dir,
             batch_size,

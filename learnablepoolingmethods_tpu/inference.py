@@ -53,7 +53,7 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
-def inference(reader, train_dir, data_pattern, out_file_location, batch_size, top_k):
+def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
     fcfg = lpm_flags.feature_config_from_flags()
     mcfg = lpm_flags.model_config_from_flags()
     model = create_model(FLAGS.model, mcfg)
@@ -184,14 +184,11 @@ def inference(reader, train_dir, data_pattern, out_file_location, batch_size, to
 
 def main(unused_argv):
     logging.set_verbosity(logging.INFO)
-    fcfg = lpm_flags.feature_config_from_flags()
-    reader = lpm_flags.make_reader(fcfg, FLAGS.num_classes)
     if not FLAGS.output_file:
         raise ValueError("'output_file' was not specified. Unable to continue with inference.")
     if not FLAGS.input_data_pattern:
         raise ValueError("'input_data_pattern' was not specified. Unable to continue with inference.")
     inference(
-        reader,
         FLAGS.train_dir,
         FLAGS.input_data_pattern,
         FLAGS.output_file,

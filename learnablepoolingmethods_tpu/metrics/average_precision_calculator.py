@@ -136,8 +136,11 @@ class AveragePrecisionCalculator:
 
     @staticmethod
     def _shuffle(predictions, actuals):
-        random.seed(0)
-        suffidx = random.sample(range(len(predictions)), len(predictions))
+        # A LOCAL Random(0): bit-identical sample sequence to the
+        # reference's random.seed(0) + random.sample (same Mersenne
+        # Twister), without resetting the process-global random state on
+        # every AP computation (review finding).
+        suffidx = random.Random(0).sample(range(len(predictions)), len(predictions))
         predictions = predictions[suffidx]
         actuals = actuals[suffidx]
         return predictions, actuals

@@ -93,8 +93,15 @@ class Trainer:
         )
 
         num_epochs = tcfg.num_epochs if tcfg.num_epochs > 0 else None
-        if FLAGS.use_grain and FLAGS.use_native_reader:
-            raise ValueError("--use_grain and --use_native_reader are exclusive")
+        n_sources = sum(
+            bool(x)
+            for x in (FLAGS.use_grain, FLAGS.use_native_reader, FLAGS.packed_cache_dir)
+        )
+        if n_sources > 1:
+            raise ValueError(
+                "--use_grain, --use_native_reader and --packed_cache_dir are "
+                "mutually exclusive input sources"
+            )
         if FLAGS.use_grain or FLAGS.packed_cache_dir:
             batches = lpm_flags.input_iterator(
                 FLAGS.train_data_pattern,

@@ -46,10 +46,14 @@ extern "C" {
 int64_t lpm_format_csv(int64_t n, int32_t k, const char* video_ids,
                        int32_t id_width, const float* values,
                        const int32_t* indices, char* out, int64_t out_cap) {
+  // per-pair budget: 2 separators + int (<=11) + score (<=39 chars, i.e.
+  // %.6f of |v| < ~1e32); larger magnitudes are rejected, not truncated
+  constexpr int64_t kPairBudget = 56;
+  constexpr int kScoreMax = 40;
   int64_t pos = 0;
   for (int64_t i = 0; i < n; ++i) {
-    // worst case per row: id + ',' + k * (11 + 1 + 13 + 1) + '\n'
-    if (pos + id_width + 2 + static_cast<int64_t>(k) * 26 > out_cap) return -1;
+    if (pos + id_width + 2 + static_cast<int64_t>(k) * kPairBudget > out_cap)
+      return -1;
     const char* vid = video_ids + i * id_width;
     int len = static_cast<int>(strnlen(vid, id_width));
     memcpy(out + pos, vid, len);
@@ -61,8 +65,10 @@ int64_t lpm_format_csv(int64_t n, int32_t k, const char* video_ids,
       out[pos++] = ' ';
       // %.6f of the float32 value promoted to double — matches Python's
       // f"{float(v):.6f}" (both correctly-rounded decimal of the double)
-      pos += snprintf(out + pos, 32, "%.6f",
-                      static_cast<double>(values[i * k + j]));
+      int w = snprintf(out + pos, kScoreMax, "%.6f",
+                       static_cast<double>(values[i * k + j]));
+      if (w < 0 || w >= kScoreMax) return -2;  // would truncate: reject
+      pos += w;
     }
     out[pos++] = '\n';
   }

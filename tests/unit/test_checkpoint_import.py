@@ -217,3 +217,35 @@ def test_lstm_gate_mapping_matches_tf_cell(rng):
         np.stack(ref_outs, axis=1),
         atol=1e-5,
     )
+
+
+def test_export_uses_reference_variable_names(rng, tmp_path):
+    """Pin the exact reference variable names (review finding: fc/bias was
+    misrouted to 'fc/beta', and the round-trip was self-consistently wrong)."""
+    _, params, bs, _ = _init("LogisticModel", rng, frame=False)
+    names = set(ci.export_reference_layout(params, bs, CFG.vocab_size))
+    assert names == {"fully_connected/weights", "fully_connected/biases"}, names
+
+    _, params, bs, _ = _init("DbofModel", rng, frame=True)
+    names = set(ci.export_reference_layout(params, bs, CFG.vocab_size))
+    expected = {
+        "input_bn/gamma", "input_bn/beta", "input_bn/moving_mean",
+        "input_bn/moving_variance",
+        "cluster_weights", "cluster_bn/gamma", "cluster_bn/beta",
+        "cluster_bn/moving_mean", "cluster_bn/moving_variance",
+        "hidden1_weights", "hidden1_bn/gamma", "hidden1_bn/beta",
+        "hidden1_bn/moving_mean", "hidden1_bn/moving_variance",
+        "gates/weights", "experts/weights", "experts/biases",
+    }
+    assert names == expected, names ^ expected
+
+    _, params, bs, _ = _init("NetVLADModelLF", rng, frame=True, d=1026)
+    names = set(ci.export_reference_layout(params, bs, CFG.vocab_size))
+    for want in (
+        "video_VLAD/cluster_weights", "video_VLAD/cluster_weights2",
+        "video_VLAD/cluster_bn/gamma", "video_VLAD/cluster_bn/moving_mean",
+        "audio_VLAD/cluster_weights", "hidden1_weights", "hidden1_biases",
+        "gating_weights", "gating_bn/gamma", "gates/weights",
+        "experts/weights", "experts/biases", "input_bn/beta",
+    ):
+        assert want in names, (want, sorted(names))

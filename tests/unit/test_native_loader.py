@@ -123,3 +123,30 @@ def test_native_csv_formatter_byte_identical(rng):
     want = "".join(format_lines(vids, vals, idxs)).encode()
     got = native_loader.format_csv(vids, vals, idxs)
     assert got == want
+
+
+def test_native_csv_formatter_large_values(rng):
+    """Memory safety (review finding): big scores must format exactly or be
+    rejected cleanly — never truncated with pos advanced past the buffer."""
+    from learnablepoolingmethods_tpu.data import native_loader
+    from learnablepoolingmethods_tpu.utils.misc import format_lines
+
+    if not native_loader.is_available():
+        pytest.skip(f"native loader unavailable: {native_loader.load_error()}")
+    vids = [b"v0"]
+    vals = np.array([[1e12, -123456.75, 1e20, 0.5, -1e26]], np.float32)
+    idxs = np.array([[1, 22, 333, 4444, 55555]], np.int32)
+    want = "".join(format_lines(vids, vals, idxs)).encode()
+    got = native_loader.format_csv(vids, vals, idxs)
+    assert got == want
+
+    # 1e30 still formats exactly (38 chars < the 40-char budget)
+    vals = np.array([[1e30]], np.float32)
+    got = native_loader.format_csv([b"v0"], vals, np.array([[7]], np.int32))
+    want = "".join(format_lines([b"v0"], vals, np.array([[7]]))).encode()
+    assert got == want
+
+    with pytest.raises(ValueError, match="too large"):
+        native_loader.format_csv(
+            [b"v0"], np.array([[1e38]], np.float32), np.array([[0]], np.int32)
+        )

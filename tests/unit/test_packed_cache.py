@@ -144,3 +144,23 @@ def test_checkpoint_restore_without_abstract_tree(tmp_path):
     mngr2.close()
     assert abs_tree is not None
     assert abs_tree["params"]["w"].shape == (3, 4)
+
+
+def test_packed_shuffled_rows_stay_aligned(frame_setup):
+    """Regression (review finding): the contiguous fast path must not fire
+    on permuted windows whose endpoints happen to differ by len-1 — every
+    shuffled row's features must belong to its video_id."""
+    _, cache = frame_setup
+    ref = {}
+    for b in packed_cache.packed_batch_iterator(cache, 21, num_epochs=1):
+        for i, vid in enumerate(b["video_id"]):
+            ref[vid] = (b["features"][i].copy(), b["labels"][i].copy())
+    for seed in range(6):
+        for b in packed_cache.packed_batch_iterator(
+            cache, 3, num_epochs=1, shuffle=True, seed=seed
+        ):
+            for i, vid in enumerate(b["video_id"]):
+                if not vid:
+                    continue
+                np.testing.assert_array_equal(b["features"][i], ref[vid][0])
+                np.testing.assert_array_equal(b["labels"][i], ref[vid][1])
