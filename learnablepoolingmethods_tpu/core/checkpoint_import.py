@@ -33,7 +33,7 @@ transcriptions (tests/unit/test_checkpoint_import.py).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Mapping, Optional, Tuple
+from typing import Callable, Dict, List, Mapping, Tuple
 
 import numpy as np
 

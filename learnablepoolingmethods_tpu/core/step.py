@@ -19,7 +19,6 @@ Reference parity notes:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

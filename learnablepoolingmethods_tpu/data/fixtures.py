@@ -7,8 +7,7 @@ our writer ↔ TF's parser, TF's writer ↔ our parser.
 
 from __future__ import annotations
 
-import struct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import jax
 import numpy as np

@@ -128,6 +128,13 @@ def define_model_flags():
 
 def define_training_flags():
     flags.DEFINE_integer("batch_size", 1024, "Videos per training batch.")
+    flags.DEFINE_integer(
+        "num_gpu",
+        1,
+        "Accepted for reference CLI compatibility and ignored: data "
+        "parallelism spans every visible device via the jax.sharding mesh "
+        "(the reference's tf.split GPU towers — SURVEY.md §2.4).",
+    )
     flags.DEFINE_string("label_loss", "CrossEntropyLoss", "Loss class name.")
     flags.DEFINE_float(
         "regularization_penalty", 1.0, "Multiplier on the regularization loss."

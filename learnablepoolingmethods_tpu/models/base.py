@@ -16,7 +16,7 @@ bound apply-able with the same dict output.  Configs are frozen dataclasses
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Type
+from typing import Dict, Type
 
 import flax.linen as nn
 
