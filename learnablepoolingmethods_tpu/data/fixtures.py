@@ -193,3 +193,36 @@ def make_learnable_synthetic_video_level(
             )
             truth.append({"video_id": vid, "labels": labels, "x": x})
     return truth
+
+
+def make_learnable_synthetic_frame_level(
+    path: str,
+    num_videos: int = 128,
+    num_classes: int = 16,
+    rgb_size: int = 10,
+    audio_size: int = 2,
+    max_frames: int = 8,
+    seed: int = 0,
+) -> List[dict]:
+    """Learnable frame-level dataset: every frame is a noisy copy of a
+    per-video latent, labels are a linear function of the latent — so a
+    frame aggregator (DBoF/NetVLAD/attention) can fit it and integration
+    tests can assert training actually learns (SURVEY.md §4 item 5)."""
+    rng = np.random.default_rng(seed)
+    d = rgb_size + audio_size
+    w = rng.normal(size=(d, num_classes)).astype(np.float32)
+    truth = []
+    with open(path, "wb") as f:
+        for i in range(num_videos):
+            vid = f"fsyn{i:05d}".encode()
+            z = rng.normal(size=d).astype(np.float32)
+            labels = np.nonzero(z @ w > 1.0)[0].tolist()
+            n_frames = int(rng.integers(max(2, max_frames // 2), max_frames + 1))
+            frames = z[None, :] + 0.3 * rng.normal(size=(n_frames, d)).astype(
+                np.float32
+            )
+            rgb = quantize_np(frames[:, :rgb_size])
+            audio = quantize_np(frames[:, rgb_size:])
+            write_tfrecord(f, encode_frame_sequence_example(vid, labels, rgb, audio))
+            truth.append({"video_id": vid, "labels": labels, "z": z})
+    return truth

@@ -143,3 +143,52 @@ def test_export_with_stablehlo(synthetic_path, tmp_path):
             jax.device_get(state.params), jax.device_get(state.batch_stats), feats
         )
         assert np.asarray(vals).shape == (1, 5)
+
+
+def test_frame_level_training_converges(tmp_path):
+    """A frame aggregator (DBoF, config 3) learns a frame-level synthetic
+    task end-to-end: loss drops and batch GAP improves."""
+    from learnablepoolingmethods_tpu.data.readers import YT8MFrameFeatureReader
+
+    path = str(tmp_path / "fsyn.tfrecord")
+    fixtures.make_learnable_synthetic_frame_level(
+        path, num_videos=128, num_classes=16, rgb_size=10, audio_size=2,
+        max_frames=8,
+    )
+    mcfg = ModelConfig(
+        vocab_size=16, iterations=6, dbof_cluster_size=32, dbof_hidden_size=16,
+    )
+    tcfg = TrainingConfig(batch_size=32, base_learning_rate=0.02, num_epochs=25)
+    reader = YT8MFrameFeatureReader(16, (10, 2), ("rgb", "audio"), 8)
+    model = create_model("DbofModel", mcfg)
+    tx = optimizers.create_optimizer(tcfg)
+    batches = pipeline.batch_iterator(
+        reader, path, 32, num_epochs=25, shuffle=True, seed=1
+    )
+    first = next(batches)
+    params, bs = step_lib.init_model_variables(model, first, frame_features=True)
+    state = TrainState.create(params, bs, tx)
+    train_step = jax.jit(
+        step_lib.make_train_step(
+            model, losses.CrossEntropyLoss(), tcfg, mcfg, True
+        ),
+        donate_argnums=0,
+    )
+    rng = jax.random.key(0)
+    logs = []
+    batch = first
+    while True:
+        db = {k: v for k, v in batch.items() if k != "video_id"}
+        state, m = train_step(state, db, rng)
+        logs.append((float(m["loss"]), np.asarray(m["predictions"]), batch["labels"]))
+        try:
+            batch = next(batches)
+        except StopIteration:
+            break
+    first_loss, first_preds, first_labels = logs[0]
+    last_loss, last_preds, last_labels = logs[-1]
+    assert last_loss < first_loss * 0.7, (first_loss, last_loss)
+    gap_first = eval_util.calculate_gap(first_preds, first_labels)
+    gap_last = eval_util.calculate_gap(last_preds, last_labels)
+    assert gap_last > gap_first
+    assert gap_last > 0.7, gap_last
