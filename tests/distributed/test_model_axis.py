@@ -121,3 +121,17 @@ def test_model_axis_eval_equals_replicated(rng):
         rtol=1e-5, atol=1e-6,
     )
     np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=1e-5)
+
+
+def test_dryrun_multichip_body_runs_in_suite():
+    """In-suite guard for the driver's multichip gate: the dry-run body must
+    keep running on the 8-virtual-device platform (the driver invokes it via
+    __graft_entry__.dryrun_multichip, which self-provisions a subprocess)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    import __graft_entry__ as g
+
+    g._dryrun_multichip_body(8)  # prints the mesh-OK line; raises on failure
