@@ -22,7 +22,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
+DCN_AXIS = "dcn"     # across slices (data-center network)
+DATA_AXIS = "data"   # across chips within a slice (ICI)
 MODEL_AXIS = "model"
 
 
@@ -45,27 +46,40 @@ def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data_parallelism: Optional[int] = None,
     model_parallelism: int = 1,
+    dcn_parallelism: int = 1,
 ) -> Mesh:
-    """Build a ("data", "model") mesh over the available chips.
+    """Build a ("data", "model") — or ("dcn", "data", "model") — mesh.
 
     Parity scope needs only the data axis (SURVEY.md §2.4: TP/PP absent in
     the reference); the model axis exists for sharding the NetVLAD hidden FC
-    (~285M params) when a config outgrows one chip's HBM.
+    (~285M params) when a config outgrows one chip's HBM.  A leading
+    ``dcn`` axis models multi-slice scale-out: the batch shards over
+    (dcn, data) so the gradient all-reduce hierarchically combines the
+    cheap intra-slice ICI reduction with one inter-slice DCN hop — the
+    standard multi-slice layout (XLA lowers the collective accordingly).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data_parallelism is None:
-        data_parallelism = n // model_parallelism
-    if data_parallelism * model_parallelism != n:
+        data_parallelism = n // (model_parallelism * dcn_parallelism)
+    if data_parallelism * model_parallelism * dcn_parallelism != n:
         raise ValueError(
-            f"mesh {data_parallelism}x{model_parallelism} != {n} devices"
+            f"mesh {dcn_parallelism}x{data_parallelism}x{model_parallelism}"
+            f" != {n} devices"
         )
+    if dcn_parallelism > 1:
+        dev_array = np.asarray(devices).reshape(
+            dcn_parallelism, data_parallelism, model_parallelism
+        )
+        return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices).reshape(data_parallelism, model_parallelism)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis (batch) sharding over the data axis."""
+    """Leading-axis (batch) sharding over the data-parallel axes."""
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

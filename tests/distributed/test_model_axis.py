@@ -135,3 +135,37 @@ def test_dryrun_multichip_body_runs_in_suite():
     import __graft_entry__ as g
 
     g._dryrun_multichip_body(8)  # prints the mesh-OK line; raises on failure
+
+
+def test_multislice_mesh_train_step_equals_replicated(rng):
+    """Multi-slice simulation: a 2×2×2 ("dcn","data","model") mesh — batch
+    sharded over (dcn, data), params over the model axis — must produce the
+    same step as the flat replicated run (the gradient all-reduce combines
+    the ICI and DCN hops; math unchanged)."""
+    model, state, batch = _make_state_and_batch(rng)
+    loss_obj = losses.CrossEntropyLoss()
+    step_fn = step_lib.make_train_step(model, loss_obj, TCFG, MCFG, True)
+    key = jax.random.key(0)
+
+    mesh1 = mesh_lib.create_mesh()
+    s1, m1 = jax.jit(step_fn)(
+        jax.device_put(state, mesh_lib.replicated_sharding(mesh1)),
+        mesh_lib.shard_batch(batch, mesh1),
+        jax.device_put(key, mesh_lib.replicated_sharding(mesh1)),
+    )
+
+    mesh3 = mesh_lib.create_mesh(model_parallelism=2, dcn_parallelism=2)
+    assert mesh3.axis_names == ("dcn", "data", "model")
+    assert mesh3.devices.shape == (2, 2, 2)
+    state3 = _shard_state(jax.device_get(state), mesh3)
+    batch3 = mesh_lib.shard_batch(batch, mesh3)
+    # batch axis spans dcn×data = 4 shards
+    assert batch3["features"].sharding.spec == (("dcn", "data"),)
+    key3 = jax.device_put(key, mesh_lib.replicated_sharding(mesh3))
+    s3, m3 = jax.jit(step_fn)(state3, batch3, key3)
+
+    chex.assert_trees_all_close(
+        jax.device_get(s1.params), jax.device_get(s3.params),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
