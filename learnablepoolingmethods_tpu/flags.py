@@ -135,6 +135,19 @@ def define_training_flags():
         "parallelism spans every visible device via the jax.sharding mesh "
         "(the reference's tf.split GPU towers — SURVEY.md §2.4).",
     )
+    flags.DEFINE_integer(
+        "model_parallelism",
+        1,
+        "Shard large weight matrices' output axis over this many devices "
+        "(the 285M-param NetVLAD hidden FC; parallel/mesh.py#shard_params). "
+        "devices = dcn × data × model.",
+    )
+    flags.DEFINE_integer(
+        "dcn_parallelism",
+        1,
+        "Leading multi-slice mesh axis: batch shards over (dcn, data); "
+        "gradient all-reduce rides ICI within a slice, one DCN hop across.",
+    )
     flags.DEFINE_string("label_loss", "CrossEntropyLoss", "Loss class name.")
     flags.DEFINE_float(
         "regularization_penalty", 1.0, "Multiplier on the regularization loss."

@@ -85,10 +85,15 @@ class Trainer:
         os.makedirs(self.train_dir, exist_ok=True)
 
         devices = jax.devices()
-        mesh = mesh_lib.create_mesh(devices)
+        mesh = mesh_lib.create_mesh(
+            devices,
+            model_parallelism=FLAGS.model_parallelism,
+            dcn_parallelism=FLAGS.dcn_parallelism,
+        )
         n_dev = len(devices)
         logging.info(
-            "%s: mesh over %d %s device(s)", task_as_string(), n_dev,
+            "%s: mesh %s over %d %s device(s)", task_as_string(),
+            dict(zip(mesh.axis_names, mesh.devices.shape)), n_dev,
             devices[0].platform,
         )
 
@@ -163,7 +168,18 @@ class Trainer:
             )
 
         repl = mesh_lib.replicated_sharding(mesh)
-        state = jax.device_put(state, repl)
+        if FLAGS.model_parallelism > 1:
+            # shard the large matrices' output axis over the model axis;
+            # everything else (small params, BN stats, optimizer moments)
+            # stays replicated — XLA propagates shardings through the step
+            state = state.replace(
+                params=mesh_lib.shard_params(state.params, mesh),
+                batch_stats=jax.device_put(state.batch_stats, repl),
+                opt_state=jax.device_put(state.opt_state, repl),
+                step=jax.device_put(state.step, repl),
+            )
+        else:
+            state = jax.device_put(state, repl)
         rng = jax.device_put(jax.random.key(FLAGS.seed), repl)
 
         train_step = jax.jit(
