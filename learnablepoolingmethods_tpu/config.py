@@ -105,6 +105,12 @@ class ModelConfig:
     dbow_cluster_size: int = 4096       # SoftDBoW clusters
     rvlad_cluster_size: int = 256       # NetRVLAD clusters
 
+    # --- NeXtVLAD (rebuild bonus; arXiv:1811.05014) ---
+    nextvlad_cluster_size: int = 128    # clusters per modality
+    nextvlad_groups: int = 8            # attention groups (G)
+    nextvlad_expansion: int = 2         # input expansion factor (λ)
+    nextvlad_hidden_size: int = 1024    # tail hidden FC
+
     # --- RNN pooling (ref: frame_level_models.py#LstmModel) ---
     lstm_cells: int = 1024              # --lstm_cells
     lstm_layers: int = 2                # --lstm_layers

@@ -97,6 +97,11 @@ def define_model_flags():
     flags.DEFINE_float("fv_coupling_factor", 0.01, "FV coupling factor.")
     flags.DEFINE_integer("dbow_cluster_size", 4096, "SoftDBoW clusters.")
     flags.DEFINE_integer("rvlad_cluster_size", 256, "NetRVLAD clusters.")
+    # NeXtVLAD (rebuild bonus, arXiv:1811.05014)
+    flags.DEFINE_integer("nextvlad_cluster_size", 128, "NeXtVLAD clusters.")
+    flags.DEFINE_integer("nextvlad_groups", 8, "NeXtVLAD attention groups.")
+    flags.DEFINE_integer("nextvlad_expansion", 2, "NeXtVLAD expansion λ.")
+    flags.DEFINE_integer("nextvlad_hidden_size", 1024, "NeXtVLAD hidden FC.")
     # RNN
     flags.DEFINE_integer("lstm_cells", 1024, "LSTM cells per layer.")
     flags.DEFINE_integer("lstm_layers", 2, "LSTM layers.")
@@ -228,6 +233,10 @@ def model_config_from_flags() -> ModelConfig:
         fv_coupling_factor=FLAGS.fv_coupling_factor,
         dbow_cluster_size=FLAGS.dbow_cluster_size,
         rvlad_cluster_size=FLAGS.rvlad_cluster_size,
+        nextvlad_cluster_size=FLAGS.nextvlad_cluster_size,
+        nextvlad_groups=FLAGS.nextvlad_groups,
+        nextvlad_expansion=FLAGS.nextvlad_expansion,
+        nextvlad_hidden_size=FLAGS.nextvlad_hidden_size,
         lstm_cells=FLAGS.lstm_cells,
         lstm_layers=FLAGS.lstm_layers,
         gru_cells=FLAGS.gru_cells,

@@ -25,6 +25,7 @@ from learnablepoolingmethods_tpu.models.modules import (
     NetFV,
     NetRVLAD,
     NetVLAD,
+    NeXtVLAD,
     SoftDBoW,
 )
 
@@ -484,6 +485,44 @@ class SoftDbofModelLF(_LoupeLFBase):
 
     def _hidden_size(self):
         return self.cfg.netvlad_hidden_size
+
+    def _relu(self):
+        return self.cfg.netvlad_relu
+
+    @nn.compact
+    def __call__(self, model_input, num_frames=None, training: bool = False):
+        return self._lf_forward(model_input, num_frames, training)
+
+
+@register_model
+class NeXtVLADModel(_LoupeLFBase):
+    """NeXtVLAD pooling (rebuild bonus; Lin et al. arXiv:1811.05014 — the
+    2018 YT-8M challenge winner's aggregator, listed as the quality upper
+    reference in PAPERS.md/BASELINE.md).  Group-attention VLAD per modality
+    behind the same gated-MoE tail as the LOUPE family."""
+
+    def _pool_module(self, feature_size, max_frames, cluster_size):
+        cfg = self.cfg
+        groups = cfg.nextvlad_groups
+        # keep λD divisible by G for any input width (tests use tiny dims)
+        while (cfg.nextvlad_expansion * feature_size) % groups:
+            groups -= 1
+        return NeXtVLAD(
+            feature_size=feature_size,
+            max_frames=max_frames,
+            cluster_size=cluster_size,
+            groups=max(groups, 1),
+            expansion=cfg.nextvlad_expansion,
+            add_batch_norm=cfg.netvlad_add_batch_norm,
+            dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype),
+        )
+
+    def _cluster_size(self):
+        return self.cfg.nextvlad_cluster_size
+
+    def _hidden_size(self):
+        return self.cfg.nextvlad_hidden_size
 
     def _relu(self):
         return self.cfg.netvlad_relu

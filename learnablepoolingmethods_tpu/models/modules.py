@@ -356,3 +356,108 @@ class ContextGating(nn.Module):
             gates = gates + gating_biases
         gates = nn.sigmoid(gates)
         return (x * gates.astype(x.dtype)).astype(self.dtype)
+
+
+class NeXtVLAD(BaseModule):
+    """NeXtVLAD aggregation (rebuild bonus; Lin et al., arXiv:1811.05014 —
+    the 2018 YT-8M challenge's parameter-efficient NetVLAD successor; listed
+    in PAPERS.md as the quality upper reference).
+
+    x̃ = X·W_e                      [B, F, λD]        (expansion, λ=2)
+    α = σ(x̃·W_g)                   [B, F, G]         (group attention)
+    a = softmax(x̃·W_a → [·, G·K])  [B, F, G, K]      (assignment)
+    x̂ = reshape(x̃, [B, F, G, D′])  D′ = λD/G         (grouping)
+    v[k, d′] = Σ_{f,g} α·a·(x̂ − c[k, d′])            (residual aggregation)
+    intra-ℓ2 over d′, flatten [B, K·D′], BN.
+
+    The aggregation is einsum-shaped for the MXU: one [B·F, λD] expansion
+    matmul, two small projection matmuls, and a [G·F → K] contraction.
+    """
+
+    feature_size: int
+    max_frames: int
+    cluster_size: int
+    groups: int = 8
+    expansion: int = 2
+    add_batch_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, training: bool = False):
+        b, f, d = frames.shape
+        g, k = self.groups, self.cluster_size
+        lam_d = self.expansion * self.feature_size
+        if lam_d % g:
+            raise ValueError(f"expansion·D ({lam_d}) must divide groups ({g})")
+        dp = lam_d // g
+        x = frames.astype(self.dtype)
+
+        w_e = self.param(
+            "expansion_weights",
+            _normal_init(1.0 / jnp.sqrt(self.feature_size)),
+            (self.feature_size, lam_d),
+            self.param_dtype,
+        )
+        xt = jnp.einsum(
+            "bfd,de->bfe", x, w_e.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, F, λD]
+
+        w_g = self.param(
+            "group_attention_weights",
+            _normal_init(1.0 / jnp.sqrt(lam_d)),
+            (lam_d, g),
+            self.param_dtype,
+        )
+        alpha = nn.sigmoid(
+            jnp.einsum(
+                "bfe,eg->bfg", xt.astype(self.dtype), w_g.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [B, F, G]
+
+        w_a = self.param(
+            "cluster_weights",
+            _normal_init(1.0 / jnp.sqrt(lam_d)),
+            (lam_d, g * k),
+            self.param_dtype,
+        )
+        logits = jnp.einsum(
+            "bfe,ec->bfc", xt.astype(self.dtype), w_a.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, f, g, k)
+        if self.add_batch_norm:
+            logits = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="cluster_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(logits.reshape(b, f, g * k)).reshape(b, f, g, k)
+        assign = nn.softmax(logits, axis=-1) * alpha[..., None]  # [B, F, G, K]
+
+        c2 = self.param(
+            "cluster_weights2",
+            _normal_init(1.0 / jnp.sqrt(self.feature_size)),
+            (k, dp),
+            self.param_dtype,
+        )
+        xg = xt.reshape(b, f, g, dp).astype(jnp.float32)
+        # Σ_{f,g} a·x̂  and  (Σ_{f,g} a)·c  — the usual VLAD split
+        agg = jnp.einsum("bfgk,bfgd->bkd", assign, xg)
+        a_sum = jnp.sum(assign, axis=(1, 2))  # [B, K]
+        vlad = agg - a_sum[:, :, None] * c2.astype(jnp.float32)[None]
+        vlad = l2_normalize(vlad, axis=-1)  # intra-normalize over d′
+        vlad = vlad.reshape(b, k * dp)
+        if self.add_batch_norm:
+            vlad = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPSILON,
+                name="vlad_bn",
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+            )(vlad)
+        return vlad.astype(self.dtype)
