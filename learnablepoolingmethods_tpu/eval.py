@@ -15,6 +15,7 @@ reference's evaluation loop.
 from __future__ import annotations
 
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,12 @@ def define_flags():
         "",
         "Evaluate a reference-trained TF checkpoint (TF1 Saver format) "
         "instead of polling --train_dir (core/checkpoint_import.py).",
+    )
+    flags.DEFINE_integer(
+        "pipeline_depth",
+        2,
+        "Batches kept in flight before fetching results — overlaps the host "
+        "metric accumulation and transfers with device compute.",
     )
     lpm_flags.define_data_flags()
     lpm_flags.define_model_flags()
@@ -137,22 +144,12 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
     examples = 0
     t0 = time.time()
     base_key = jax.random.key(0)
-    for batch_idx, batch in enumerate(
-        lpm_flags.input_iterator(
-            FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
-        )
-    ):
-        batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
-        device_batch = {
-            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
-            for k, v in batch.items()
-            if k != "video_id"
-        }
-        # fresh sampling key per batch (advisor round-1 finding)
-        out = eval_step(
-            params, batch_stats, device_batch, jax.random.fold_in(base_key, batch_idx)
-        )
-        w = np.asarray(batch["weights"])
+    depth = max(int(getattr(FLAGS, "pipeline_depth", 1)), 1)
+    in_flight: "deque" = deque()
+
+    def accumulate_one():
+        nonlocal examples, hit_sum, perr_sum, loss_sum, w_sum
+        w, labels_host, out = in_flight.popleft()
         real = int(w.sum())
         examples += real
         if use_fast:
@@ -168,8 +165,30 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
             w_sum += real
         else:
             preds = np.asarray(out["predictions"])[w > 0]
-            labels = np.asarray(batch["labels"])[w > 0]
-            em.accumulate(preds, labels, float(out["loss"]))
+            em.accumulate(preds, labels_host[w > 0], float(out["loss"]))
+
+    for batch_idx, batch in enumerate(
+        lpm_flags.input_iterator(
+            FLAGS.eval_data_pattern, FLAGS.batch_size, num_epochs=1
+        )
+    ):
+        batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
+        device_batch = {
+            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+            for k, v in batch.items()
+            if k != "video_id"
+        }
+        # fresh sampling key per batch (advisor round-1 finding); dispatch is
+        # async — block on results only once `depth` batches are in flight,
+        # so host metric accumulation overlaps device compute
+        out = eval_step(
+            params, batch_stats, device_batch, jax.random.fold_in(base_key, batch_idx)
+        )
+        in_flight.append((np.asarray(batch["weights"]), batch["labels"], out))
+        if len(in_flight) >= depth:
+            accumulate_one()
+    while in_flight:
+        accumulate_one()
 
     dt = time.time() - t0
     if use_fast:

@@ -145,3 +145,52 @@ def test_adafactor_option_trains(rng):
         losses_seen.append(float(m["loss"]))
     assert all(np.isfinite(losses_seen))
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_fp32_master_checkpoint_roundtrip(rng, tmp_path):
+    """The Fp32MasterState (bf16 params + fp32 master + inner Adam state)
+    must survive an orbax save/restore — training resume with --bf16_params."""
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import ModelConfig
+    from learnablepoolingmethods_tpu.core import checkpoints as ckpt_lib
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+    from learnablepoolingmethods_tpu.models import create_model
+
+    mcfg = ModelConfig(vocab_size=8)
+    tcfg = TrainingConfig(batch_size=8, fp32_master=True)
+    model = create_model("LogisticModel", mcfg)
+    batch = {
+        "features": rng.normal(size=(8, 12)).astype(np.float32),
+        "labels": (rng.uniform(size=(8, 8)) < 0.3).astype(np.float32),
+        "weights": np.ones(8, np.float32),
+    }
+    params, bs = step_lib.init_model_variables(model, batch, False)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+    tx = optimizers.create_optimizer(tcfg)
+    state = TrainState.create(params, bs, tx)
+    step_fn = jax.jit(
+        step_lib.make_train_step(model, losses.CrossEntropyLoss(), tcfg, mcfg, False)
+    )
+    state, _ = step_fn(state, batch, jax.random.key(0))
+    state, _ = step_fn(state, batch, jax.random.key(0))
+
+    mngr = ckpt_lib.CheckpointManager(str(tmp_path))
+    mngr.save(2, ckpt_lib.state_to_tree(state))
+    restored_tree = mngr.restore_latest(
+        ckpt_lib.abstract_like(jax.device_get(ckpt_lib.state_to_tree(state)))
+    )
+    mngr.close()
+    restored = ckpt_lib.tree_to_state(restored_tree, tx)
+    chex.assert_trees_all_equal(
+        jax.device_get(state.params), jax.device_get(restored.params)
+    )
+    chex.assert_trees_all_equal(
+        jax.device_get(state.opt_state), jax.device_get(restored.opt_state)
+    )
+    for p in jax.tree.leaves(restored.params):
+        assert p.dtype == jnp.bfloat16
+    # resumed training continues bit-identically
+    s_a, m_a = step_fn(state, batch, jax.random.key(1))
+    s_b, m_b = step_fn(restored, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=0)
