@@ -169,3 +169,53 @@ def test_batch_norm_matches_tf_train_mode(rng):
     mean, var = tf.nn.moments(tf.constant(x), axes=[0])
     want = tf.nn.batch_normalization(tf.constant(x), mean, var, 0.0, 1.0, 1e-3).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_nextvlad_matches_explicit_loop(rng):
+    """NeXtVLAD (bonus module, arXiv:1811.05014): the einsum aggregation must
+    equal an explicit per-(frame, group) loop on tiny tensors."""
+    import flax.linen as nn
+
+    from learnablepoolingmethods_tpu.models.modules import NeXtVLAD
+
+    b, f, d, g, k, lam = 2, 3, 4, 2, 3, 2
+    mod = NeXtVLAD(
+        feature_size=d, max_frames=f, cluster_size=k, groups=g, expansion=lam,
+        add_batch_norm=False,
+    )
+    x = rng.normal(size=(b, f, d)).astype(np.float32)
+    variables = mod.init(jax.random.key(0), jnp.asarray(x))
+    got = np.asarray(mod.apply(variables, jnp.asarray(x)))
+
+    p = variables["params"]
+    w_e = np.asarray(p["expansion_weights"])      # [d, lam*d]
+    w_g = np.asarray(p["group_attention_weights"])  # [lam*d, g]
+    w_a = np.asarray(p["cluster_weights"])        # [lam*d, g*k]
+    c2 = np.asarray(p["cluster_weights2"])        # [k, dp]
+    dp = lam * d // g
+
+    def sigmoid(z):
+        return 1 / (1 + np.exp(-z))
+
+    def softmax(z):
+        e = np.exp(z - z.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    want = np.zeros((b, k * dp), np.float32)
+    for bi in range(b):
+        vlad = np.zeros((k, dp))
+        for fi in range(f):
+            xt = x[bi, fi] @ w_e                          # [lam*d]
+            alpha = sigmoid(xt @ w_g)                     # [g]
+            logits = (xt @ w_a).reshape(g, k)
+            a = softmax(logits)                           # [g, k]
+            xg = xt.reshape(g, dp)
+            for gi in range(g):
+                for ki in range(k):
+                    vlad[ki] += alpha[gi] * a[gi, ki] * (xg[gi] - c2[ki])
+        # intra-normalize over dp
+        vlad = vlad / np.maximum(
+            np.linalg.norm(vlad, axis=-1, keepdims=True), 1e-30
+        )
+        want[bi] = vlad.reshape(-1)
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -76,6 +76,7 @@ def test_cli_train_inference_roundtrip(workdir):
         "--num_epochs=2", "--start_new_model", "--export_model_steps=0",
         "--save_checkpoint_every_n_steps=4", "--log_every_n_steps=2",
         "--use_grain", "--dcn_parallelism=2", "--model_parallelism=2",
+        "--bf16_params",
     )
     assert "training step" in log and "done; final checkpoint" in log
 
