@@ -15,7 +15,6 @@ reference's evaluation loop.
 from __future__ import annotations
 
 import time
-from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +28,7 @@ from learnablepoolingmethods_tpu.core import step as step_lib
 from learnablepoolingmethods_tpu.metrics import eval_util
 from learnablepoolingmethods_tpu.models import create_model
 from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
+from learnablepoolingmethods_tpu.utils.misc import InFlight
 
 FLAGS = flags.FLAGS
 
@@ -68,10 +68,18 @@ def define_flags():
 
 
 def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(
+        model_parallelism=FLAGS.model_parallelism,
+        dcn_parallelism=FLAGS.dcn_parallelism,
+    )
     n_dev = np.prod(mesh.devices.shape)
     repl = mesh_lib.replicated_sharding(mesh)
-    params = jax.device_put(tree["params"], repl)
+    # honor --model_parallelism here too (review finding: a model trained
+    # sharded because it outgrows one chip must not be replicated at eval)
+    if FLAGS.model_parallelism > 1:
+        params = mesh_lib.shard_params(tree["params"], mesh)
+    else:
+        params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
     if FLAGS.fast_forward:
@@ -144,12 +152,11 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
     examples = 0
     t0 = time.time()
     base_key = jax.random.key(0)
-    depth = max(int(getattr(FLAGS, "pipeline_depth", 1)), 1)
-    in_flight: "deque" = deque()
+    pipe = InFlight(getattr(FLAGS, "pipeline_depth", 1))
 
-    def accumulate_one():
+    def accumulate_one(item):
         nonlocal examples, hit_sum, perr_sum, loss_sum, w_sum
-        w, labels_host, out = in_flight.popleft()
+        w, labels_host, out = item
         real = int(w.sum())
         examples += real
         if use_fast:
@@ -184,11 +191,11 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         out = eval_step(
             params, batch_stats, device_batch, jax.random.fold_in(base_key, batch_idx)
         )
-        in_flight.append((np.asarray(batch["weights"]), batch["labels"], out))
-        if len(in_flight) >= depth:
-            accumulate_one()
-    while in_flight:
-        accumulate_one()
+        done = pipe.add((np.asarray(batch["weights"]), batch["labels"], out))
+        if done is not None:
+            accumulate_one(done)
+    for done in pipe.drain():
+        accumulate_one(done)
 
     dt = time.time() - t0
     if use_fast:

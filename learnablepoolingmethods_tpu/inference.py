@@ -20,7 +20,7 @@ from learnablepoolingmethods_tpu.models import create_model
 from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
 # format_lines lives in utils/misc.py (flag-free import for tests/tools);
 # re-exported here to keep the reference module surface
-from learnablepoolingmethods_tpu.utils.misc import format_lines
+from learnablepoolingmethods_tpu.utils.misc import InFlight, format_lines
 
 FLAGS = flags.FLAGS
 
@@ -73,10 +73,18 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
         tree = mngr.restore(step_num)
         logging.info("restored checkpoint at step %d", step_num)
 
-    mesh = mesh_lib.create_mesh()
+    mesh = mesh_lib.create_mesh(
+        model_parallelism=FLAGS.model_parallelism,
+        dcn_parallelism=FLAGS.dcn_parallelism,
+    )
     n_dev = int(np.prod(mesh.devices.shape))
     repl = mesh_lib.replicated_sharding(mesh)
-    params = jax.device_put(tree["params"], repl)
+    # honor --model_parallelism here too (review finding: a model trained
+    # sharded because it outgrows one chip must not be replicated at eval)
+    if FLAGS.model_parallelism > 1:
+        params = mesh_lib.shard_params(tree["params"], mesh)
+    else:
+        params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
     if FLAGS.fast_infer:
@@ -119,19 +127,16 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
             step_lib.make_predict_step(model, mcfg, fcfg.frame_features, top_k=top_k)
         )
 
-    from collections import deque
-
     from learnablepoolingmethods_tpu.data import native_loader
 
     use_native_csv = native_loader.is_available()
-    depth = max(int(getattr(FLAGS, "pipeline_depth", 1)), 1)
+    pipe = InFlight(getattr(FLAGS, "pipeline_depth", 1))
     num_examples_processed = 0
     start_time = time.time()
-    in_flight: deque = deque()
 
-    def flush_one(out_file):
+    def flush_one(out_file, item):
         nonlocal num_examples_processed
-        vids, real, values, indices = in_flight.popleft()
+        vids, real, values, indices = item
         # np.asarray blocks until the device results are ready
         vals_np, idx_np = np.asarray(values)[real], np.asarray(indices)[real]
         num_examples_processed += int(real.sum())
@@ -174,11 +179,11 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
             w = np.asarray(batch["weights"])
             real = w > 0
             vids = [v for v, keep in zip(batch["video_id"], real) if keep]
-            in_flight.append((vids, real, values, indices))
-            if len(in_flight) >= depth:
-                flush_one(out_file)
-        while in_flight:
-            flush_one(out_file)
+            done = pipe.add((vids, real, values, indices))
+            if done is not None:
+                flush_one(out_file, done)
+        for done in pipe.drain():
+            flush_one(out_file, done)
     logging.info("done; wrote %s", out_file_location)
 
 

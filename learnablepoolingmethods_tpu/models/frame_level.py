@@ -502,16 +502,31 @@ class NeXtVLADModel(_LoupeLFBase):
     behind the same gated-MoE tail as the LOUPE family."""
 
     def _pool_module(self, feature_size, max_frames, cluster_size):
+        import logging
+
         cfg = self.cfg
+        if cfg.nextvlad_groups < 1:
+            raise ValueError(
+                f"--nextvlad_groups must be >= 1, got {cfg.nextvlad_groups}"
+            )
         groups = cfg.nextvlad_groups
-        # keep λD divisible by G for any input width (tests use tiny dims)
+        # G must divide λD; fall back to the largest divisor <= the request
+        # (tiny test widths), and SAY so — silent architecture changes are
+        # worse than a log line (review finding)
         while (cfg.nextvlad_expansion * feature_size) % groups:
             groups -= 1
+        if groups != cfg.nextvlad_groups:
+            logging.getLogger(__name__).warning(
+                "NeXtVLAD: groups adjusted %d -> %d so it divides "
+                "expansion*feature_size = %d",
+                cfg.nextvlad_groups, groups,
+                cfg.nextvlad_expansion * feature_size,
+            )
         return NeXtVLAD(
             feature_size=feature_size,
             max_frames=max_frames,
             cluster_size=cluster_size,
-            groups=max(groups, 1),
+            groups=groups,
             expansion=cfg.nextvlad_expansion,
             add_batch_norm=cfg.netvlad_add_batch_norm,
             dtype=jnp.dtype(cfg.compute_dtype),

@@ -388,8 +388,12 @@ class NeXtVLAD(BaseModule):
         b, f, d = frames.shape
         g, k = self.groups, self.cluster_size
         lam_d = self.expansion * self.feature_size
+        if g < 1:
+            raise ValueError(f"NeXtVLAD groups must be >= 1, got {g}")
         if lam_d % g:
-            raise ValueError(f"expansion·D ({lam_d}) must divide groups ({g})")
+            raise ValueError(
+                f"NeXtVLAD groups ({g}) must divide expansion·D ({lam_d})"
+            )
         dp = lam_d // g
         x = frames.astype(self.dtype)
 

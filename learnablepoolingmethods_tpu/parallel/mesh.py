@@ -68,9 +68,28 @@ def create_mesh(
             f" != {n} devices"
         )
     if dcn_parallelism > 1:
-        dev_array = np.asarray(devices).reshape(
-            dcn_parallelism, data_parallelism, model_parallelism
-        )
+        # On real multi-slice hardware the dcn axis must align with physical
+        # slice boundaries or the "intra-slice" reduction silently crosses
+        # DCN; mesh_utils reads each device's slice_index to guarantee it.
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (1, data_parallelism, model_parallelism),
+                (dcn_parallelism, 1, 1),
+                devices,
+            )
+        except Exception:  # noqa: BLE001 — virtual platforms lack slice_index
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "create_hybrid_device_mesh unavailable (no slice_index — "
+                "virtual/single-slice platform); assuming device enumeration "
+                "is slice-contiguous for the dcn axis"
+            )
+            dev_array = np.asarray(devices).reshape(
+                dcn_parallelism, data_parallelism, model_parallelism
+            )
         return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
     dev_array = np.asarray(devices).reshape(data_parallelism, model_parallelism)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))

@@ -169,13 +169,15 @@ class Trainer:
 
         repl = mesh_lib.replicated_sharding(mesh)
         if FLAGS.model_parallelism > 1:
-            # shard the large matrices' output axis over the model axis;
-            # everything else (small params, BN stats, optimizer moments)
-            # stays replicated — XLA propagates shardings through the step
+            # shard the large matrices' output axis over the model axis.
+            # The optimizer state goes through the SAME rule: its big leaves
+            # (Adam moments, the fp32 master) mirror the params — pinning
+            # them replicated would put the full fp32 optimizer copy of the
+            # 285M-param hidden FC on every chip, defeating the flag.
             state = state.replace(
                 params=mesh_lib.shard_params(state.params, mesh),
                 batch_stats=jax.device_put(state.batch_stats, repl),
-                opt_state=jax.device_put(state.opt_state, repl),
+                opt_state=mesh_lib.shard_params(state.opt_state, mesh),
                 step=jax.device_put(state.step, repl),
             )
         else:

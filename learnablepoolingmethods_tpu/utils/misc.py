@@ -35,3 +35,35 @@ def format_lines(video_ids, top_values, top_indices):
             f"{int(idx)} {float(val):.6f}" for idx, val in zip(indices, values)
         )
         yield f"{vid.decode() if isinstance(vid, bytes) else vid},{pairs}\n"
+
+
+class InFlight:
+    """Bounded dispatch-pipelining queue shared by the eval/inference CLIs.
+
+    jax dispatch is async; callers enqueue per-batch payloads (host metadata
+    + device result futures) and receive the OLDEST payload back once
+    ``depth`` batches are in flight — blocking on device results only then,
+    so host-side work overlaps device compute.  FIFO order is preserved.
+
+        pipe = InFlight(depth)
+        for batch in ...:
+            done = pipe.add(payload)
+            if done is not None: consume(done)
+        for done in pipe.drain(): consume(done)
+    """
+
+    def __init__(self, depth: int):
+        from collections import deque
+
+        self._depth = max(int(depth), 1)
+        self._q = deque()
+
+    def add(self, item):
+        self._q.append(item)
+        if len(self._q) >= self._depth:
+            return self._q.popleft()
+        return None
+
+    def drain(self):
+        while self._q:
+            yield self._q.popleft()

@@ -47,7 +47,7 @@ def _shard_state(state, mesh):
     return state.replace(
         params=mesh_lib.shard_params(state.params, mesh, min_size=MIN_SIZE),
         batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=jax.device_put(state.opt_state, repl),
+        opt_state=mesh_lib.shard_params(state.opt_state, mesh, min_size=MIN_SIZE),
         step=jax.device_put(state.step, repl),
     )
 
