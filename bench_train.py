@@ -30,6 +30,7 @@ def bench_train(
     use_remat: bool = False,
     model_name: str = "NetVLADModelLF",
     optimizer: str = "AdamOptimizer",
+    presample: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -45,6 +46,7 @@ def bench_train(
         compute_dtype="bfloat16",
         param_dtype="bfloat16" if bf16_params else "float32",
         fused_train_aggregation=fused_aggregation,
+        presampled=presample,
     )
     tcfg = TrainingConfig(
         batch_size=batch,
@@ -52,6 +54,7 @@ def bench_train(
         fp32_master=bf16_params,
         use_remat=use_remat,
         optimizer=optimizer,
+        presample_frames=presample,
     )
     model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
@@ -117,6 +120,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--model", default="NetVLADModelLF")
     ap.add_argument("--optimizer", default="AdamOptimizer")
+    ap.add_argument("--presample", action="store_true")
     args = ap.parse_args()
     eps, step_s, loss = bench_train(
         args.batch,
@@ -127,6 +131,7 @@ def main():
         use_remat=args.remat,
         model_name=args.model,
         optimizer=args.optimizer,
+        presample=args.presample,
     )
     print(
         json.dumps(

@@ -171,3 +171,6 @@ class TrainingConfig:
     fp32_master: bool = False                   # bf16 params + fp32 master in
                                                 # the optimizer (--bf16_params
                                                 # sets this with param_dtype)
+    presample_frames: bool = False              # sample frames in uint8 BEFORE
+                                                # dequantize (sampling models
+                                                # only; exact reorder)

@@ -102,14 +102,36 @@ def make_train_step(
     """Build the fused train step: (state, batch, rng) → (state, metrics)."""
     compute_dtype = jnp.dtype(mcfg.compute_dtype)
 
+    presample = bool(getattr(tcfg, "presample_frames", False)) and frame_features
+
     def train_step(state: TrainState, batch, rng):
-        x = preprocess_input(batch["features"], compute_dtype)
         num_frames = batch.get("num_frames") if frame_features else None
+        step_rng = jax.random.fold_in(rng, state.step)
+        sampling_rng, dropout_rng = jax.random.split(step_rng)
+        features = batch["features"]
+        if presample:
+            # gather the sampled frames in uint8 BEFORE dequantize+ℓ2-norm
+            # (1 byte/row instead of 2, and only sampled rows get the float
+            # input stage; exact — ℓ2-normalize is row-wise and the model's
+            # BN runs after sampling).  Same floor(U·nf) index distribution
+            # as model_utils.sample_random_frames; the model is built with
+            # presampled=True and skips its internal sampling.
+            b = features.shape[0]
+            nf = jnp.minimum(
+                jnp.asarray(num_frames, jnp.int32), features.shape[1]
+            )
+            u = jax.random.uniform(
+                sampling_rng, (b, mcfg.iterations), dtype=jnp.float32
+            )
+            idx = jnp.minimum(
+                (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
+                features.shape[1] - 1,
+            )
+            features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+        x = preprocess_input(features, compute_dtype)
         weights = batch.get("weights")
         if weights is None:
             weights = jnp.ones((x.shape[0],), jnp.float32)
-        step_rng = jax.random.fold_in(rng, state.step)
-        sampling_rng, dropout_rng = jax.random.split(step_rng)
 
         def forward(params, batch_stats, x, srng, drng, num_frames):
             variables = {"params": params, "batch_stats": batch_stats}

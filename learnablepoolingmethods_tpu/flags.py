@@ -190,6 +190,14 @@ def define_training_flags():
         "adam_bf16_momentum", False, "Store Adam's first moment in bfloat16."
     )
     flags.DEFINE_bool(
+        "presample_frames",
+        False,
+        "Sample frames in uint8 space before dequantize+normalize in the "
+        "train step (sampling models: DBoF/NetVLAD/NeXtVLAD families). "
+        "Mathematically identical reordering; cuts the input stage by "
+        "300/iterations.",
+    )
+    flags.DEFINE_bool(
         "bf16_params",
         False,
         "Store model params in bfloat16 with an fp32 master copy in the "
@@ -272,6 +280,7 @@ def training_config_from_flags() -> TrainingConfig:
         use_remat=FLAGS.use_remat,
         adam_bf16_momentum=FLAGS.adam_bf16_momentum,
         fp32_master=FLAGS.bf16_params,
+        presample_frames=FLAGS.presample_frames,
     )
 
 

@@ -73,6 +73,12 @@ class Trainer:
         fcfg = lpm_flags.feature_config_from_flags()
         mcfg = lpm_flags.model_config_from_flags()
         tcfg = lpm_flags.training_config_from_flags()
+        if tcfg.presample_frames:
+            import dataclasses
+
+            # the train step gathers sampled uint8 frames itself; the model
+            # skips its internal sampling (config.py#presampled)
+            mcfg = dataclasses.replace(mcfg, presampled=True)
         reader = lpm_flags.make_reader(fcfg, mcfg.vocab_size)
         model = create_model(FLAGS.model, mcfg)
         loss_obj = lpm_flags.get_loss_by_name(tcfg.label_loss)

@@ -85,3 +85,63 @@ def test_predict_step_rng_varies_sampling(rng):
     assert not np.allclose(np.asarray(v0), np.asarray(v1)), (
         "different sampling keys produced identical predictions"
     )
+
+
+def test_presample_frames_step_equivalence(rng):
+    """--presample_frames gathers uint8 frames BEFORE dequantize+ℓ2-norm —
+    an exact reorder (row-wise normalize).  With num_frames=1 the sampled
+    index is always 0, so loss and gradients must agree to float noise.
+    (Post-Adam params are NOT compared: on near-zero gradients Adam's
+    m̂/√v̂ ≈ sign(g) amplifies 1-ulp backward noise into ±lr sign flips.)"""
+    import dataclasses
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import TrainingConfig
+    import chex
+
+    mcfg = ModelConfig(
+        vocab_size=8, iterations=4, dbof_cluster_size=16, dbof_hidden_size=8
+    )
+    batch = {
+        "features": rng.integers(0, 256, size=(4, 6, 12), dtype=np.uint8),
+        "labels": (rng.uniform(size=(4, 8)) < 0.3).astype(np.float32),
+        "num_frames": np.ones(4, np.int32),  # index 0 regardless of key
+        "weights": np.ones(4, np.float32),
+    }
+    loss_obj = losses.CrossEntropyLoss()
+    key = jax.random.key(0)
+
+    def loss_and_grads(presample):
+        m = dataclasses.replace(mcfg, presampled=presample)
+        model = create_model("DbofModel", m)
+        params, bs = step_lib.init_model_variables(model, batch, True)
+
+        def loss_fn(params):
+            feats = jnp.asarray(batch["features"])
+            nf = jnp.asarray(batch["num_frames"])
+            if presample:
+                u = jax.random.uniform(key, (4, m.iterations))
+                idx = jnp.minimum(
+                    (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
+                    feats.shape[1] - 1,
+                )
+                feats = jnp.take_along_axis(feats, idx[:, :, None], axis=1)
+            x = step_lib.preprocess_input(feats)
+            out = model.apply(
+                {"params": params, "batch_stats": bs}, x, num_frames=nf,
+                training=True, rngs={"sampling": key},
+                mutable=["batch_stats"],
+            )[0]
+            per = loss_obj.calculate_per_example_loss(
+                out["predictions"], jnp.asarray(batch["labels"])
+            )
+            return jnp.mean(per)
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    l_ref, g_ref = loss_and_grads(False)
+    l_pre, g_pre = loss_and_grads(True)
+    np.testing.assert_allclose(float(l_pre), float(l_ref), rtol=1e-7)
+    chex.assert_trees_all_close(
+        jax.device_get(g_ref), jax.device_get(g_pre), rtol=1e-5, atol=1e-7
+    )
