@@ -29,6 +29,7 @@ from learnablepoolingmethods_tpu.core.train_state import TrainState
 from learnablepoolingmethods_tpu.losses import BaseLoss
 from learnablepoolingmethods_tpu.ops import metrics_ops
 from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+from learnablepoolingmethods_tpu.ops.topk import top_k_exact
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
 
@@ -242,7 +243,7 @@ def make_predict_step(model, mcfg: ModelConfig, frame_features: bool, top_k: int
             kwargs["rngs"] = {"sampling": rng}
         out = model.apply(variables, x, training=False, **kwargs)
         predictions = out["predictions"].astype(jnp.float32)
-        values, indices = jax.lax.top_k(predictions, min(top_k, predictions.shape[-1]))
+        values, indices = top_k_exact(predictions, min(top_k, predictions.shape[-1]))
         return values, indices
 
     return predict_step

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from learnablepoolingmethods_tpu.config import ModelConfig
 from learnablepoolingmethods_tpu.ops.fast_infer import _fold_bn
 from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+from learnablepoolingmethods_tpu.ops.topk import top_k_exact
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
 
@@ -118,6 +119,6 @@ def build_fast_dbof_inference(
         )
         if return_probs:
             return probs
-        return jax.lax.top_k(probs, min(top_k, v))
+        return top_k_exact(probs, min(top_k, v))
 
     return forward

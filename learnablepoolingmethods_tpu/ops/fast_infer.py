@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from learnablepoolingmethods_tpu.config import ModelConfig
 from learnablepoolingmethods_tpu.ops.netvlad_pallas import netvlad_fused, netvlad_reference
 from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+from learnablepoolingmethods_tpu.ops.topk import top_k_exact
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
 BN_EPSILON = 1e-3
@@ -210,7 +211,7 @@ def build_fast_netvlad_inference(
         )
         if return_probs:
             return probs
-        values, indices = jax.lax.top_k(probs, min(top_k, v))
+        values, indices = top_k_exact(probs, min(top_k, v))
         return values, indices
 
     return forward

@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from learnablepoolingmethods_tpu.ops.topk import top_k_exact
+
 
 # PERR is exact as long as no video carries more labels than this bound
 # (the YT-8M vocabulary assigns ≲20 labels/video; the reference computes the
@@ -53,7 +55,7 @@ def batch_topk_partials(
     weights = weights.astype(jnp.float32)
 
     k = min(top_k, v)
-    topk_scores, topk_idx = jax.lax.top_k(predictions, k)
+    topk_scores, topk_idx = top_k_exact(predictions, k)
     topk_labels = jnp.take_along_axis(labels, topk_idx, axis=1)
     # padded rows: push scores to -inf-equivalent and zero their labels so the
     # pooled sort puts them last and they never count as positives.
