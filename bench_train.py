@@ -31,6 +31,7 @@ def bench_train(
     model_name: str = "NetVLADModelLF",
     optimizer: str = "AdamOptimizer",
     presample: bool = False,
+    fused_adam: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -44,17 +45,18 @@ def bench_train(
     mcfg = ModelConfig(
         iterations=300 if model_name == "NetVLADModelLF" else 30,
         compute_dtype="bfloat16",
-        param_dtype="bfloat16" if bf16_params else "float32",
+        param_dtype="bfloat16" if (bf16_params or fused_adam) else "float32",
         fused_train_aggregation=fused_aggregation,
         presampled=presample,
     )
     tcfg = TrainingConfig(
         batch_size=batch,
         adam_bf16_momentum=bf16_momentum,
-        fp32_master=bf16_params,
+        fp32_master=bf16_params and not fused_adam,
         use_remat=use_remat,
         optimizer=optimizer,
         presample_frames=presample,
+        fused_adam=fused_adam,
     )
     model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
@@ -121,6 +123,7 @@ def main():
     ap.add_argument("--model", default="NetVLADModelLF")
     ap.add_argument("--optimizer", default="AdamOptimizer")
     ap.add_argument("--presample", action="store_true")
+    ap.add_argument("--fused_adam", action="store_true")
     args = ap.parse_args()
     eps, step_s, loss = bench_train(
         args.batch,
@@ -132,6 +135,7 @@ def main():
         model_name=args.model,
         optimizer=args.optimizer,
         presample=args.presample,
+        fused_adam=args.fused_adam,
     )
     print(
         json.dumps(

@@ -174,3 +174,7 @@ class TrainingConfig:
     presample_frames: bool = False              # sample frames in uint8 BEFORE
                                                 # dequantize (sampling models
                                                 # only; exact reorder)
+    fused_adam: bool = False                    # one-VMEM-pass Adam kernel:
+                                                # stochastic-rounded bf16
+                                                # params + bf16 ν, no fp32
+                                                # master (ops/fused_adam.py)

@@ -115,13 +115,24 @@ def learning_rate_schedule(cfg: TrainingConfig) -> optax.Schedule:
     )
 
 
-def create_optimizer(cfg: TrainingConfig) -> optax.GradientTransformation:
+def create_optimizer(cfg: TrainingConfig):
+    """Returns an optax.GradientTransformation — or a FusedAdam (which
+    TrainState drives through its ``fused_apply`` method instead)."""
     try:
         opt_fn = _OPTIMIZERS[cfg.optimizer]
     except KeyError:
         raise ValueError(
             f"Unknown optimizer {cfg.optimizer!r}. Known: {sorted(_OPTIMIZERS)}"
         ) from None
+    if getattr(cfg, "fused_adam", False):
+        if cfg.optimizer != "AdamOptimizer":
+            raise ValueError("--fused_adam requires --optimizer=AdamOptimizer")
+        from learnablepoolingmethods_tpu.ops.fused_adam import FusedAdam
+
+        return FusedAdam(
+            learning_rate_schedule(cfg),
+            clip_norm=cfg.clip_gradient_norm if cfg.clip_gradient_norm > 0 else None,
+        )
     if cfg.optimizer == "AdamOptimizer" and getattr(cfg, "adam_bf16_momentum", False):
         opt_fn = _ADAM_BF16
     schedule = learning_rate_schedule(cfg)

@@ -23,8 +23,18 @@ class TrainState:
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
 
     def apply_gradients(self, grads, new_batch_stats=None):
-        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
-        new_params = optax.apply_updates(self.params, updates)
+        if hasattr(self.tx, "fused_apply"):
+            # FusedAdam (ops/fused_adam.py): returns new params directly so
+            # the update stays one VMEM pass — optax's (updates, apply) split
+            # would force an extra delta tree through HBM.
+            new_params, new_opt_state = self.tx.fused_apply(
+                grads, self.opt_state, self.params
+            )
+        else:
+            updates, new_opt_state = self.tx.update(
+                grads, self.opt_state, self.params
+            )
+            new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
             params=new_params,

@@ -204,6 +204,14 @@ def define_training_flags():
         "optimizer (halves fwd/bwd weight + grad HBM traffic; Adam math "
         "stays fp32 on the master).",
     )
+    flags.DEFINE_bool(
+        "fused_adam",
+        False,
+        "HBM-floor Adam: bf16 params updated with stochastic rounding (no "
+        "fp32 master) and a stochastically-rounded bf16 second moment "
+        "(ops/fused_adam.py; one fused elementwise pass, ~1.3x the optax "
+        "update). Implies --bf16_params storage and shards with the params.",
+    )
 
 
 def feature_config_from_flags() -> FeatureConfig:
@@ -218,7 +226,9 @@ def feature_config_from_flags() -> FeatureConfig:
 def model_config_from_flags() -> ModelConfig:
     return ModelConfig(
         vocab_size=FLAGS.num_classes,
-        param_dtype="bfloat16" if FLAGS.bf16_params else "float32",
+        param_dtype=(
+            "bfloat16" if (FLAGS.bf16_params or FLAGS.fused_adam) else "float32"
+        ),
         moe_num_mixtures=FLAGS.moe_num_mixtures,
         moe_l2=FLAGS.moe_l2,
         iterations=FLAGS.iterations,
@@ -279,8 +289,10 @@ def training_config_from_flags() -> TrainingConfig:
         keep_checkpoint_max=FLAGS.keep_checkpoint_max,
         use_remat=FLAGS.use_remat,
         adam_bf16_momentum=FLAGS.adam_bf16_momentum,
-        fp32_master=FLAGS.bf16_params,
+        # fused_adam keeps no fp32 master (stochastic rounding replaces it)
+        fp32_master=FLAGS.bf16_params and not FLAGS.fused_adam,
         presample_frames=FLAGS.presample_frames,
+        fused_adam=FLAGS.fused_adam,
     )
 
 
