@@ -48,8 +48,12 @@ def _fwd_kernel(x_ref, l_ref, c2_ref, out_ref):
     logits = l_ref[0]                 # [F, K] f32
     a = jax.nn.softmax(logits, axis=-1)
     s = jnp.sum(a, axis=0, keepdims=True)          # [1, K]
+    # MXU operands in x's dtype (bf16 in production — fp32-operand dots run
+    # the MXU at 1/4 rate and made this kernel the training hot spot; fp32
+    # ACCUMULATION is kept either way, matching the unfused einsum's
+    # preferred_element_type and the flax path's bf16 operands)
     v1 = jax.lax.dot_general(
-        x.astype(jnp.float32), a, (((0,), (0,)), ((), ())),
+        x, a.astype(x.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) - s * c2_ref[...]
     col = jnp.sum(v1 * v1, axis=0, keepdims=True)
@@ -59,7 +63,8 @@ def _fwd_kernel(x_ref, l_ref, c2_ref, out_ref):
 
 
 def _bwd_kernel(x_ref, l_ref, c2_ref, dv3_ref, dx_ref, dl_ref, dc2_ref):
-    x = x_ref[0].astype(jnp.float32)  # [F, D]
+    x = x_ref[0]                      # [F, D] — keep native dtype: all uses
+    #                                   are MXU dots (bf16 runs 4x fp32 rate)
     logits = l_ref[0]                 # [F, K]
     c2 = c2_ref[...]                  # [D, K]
     dv3 = dv3_ref[0].astype(jnp.float32)  # [D, K]
@@ -68,7 +73,8 @@ def _bwd_kernel(x_ref, l_ref, c2_ref, dv3_ref, dx_ref, dl_ref, dc2_ref):
     a = jax.nn.softmax(logits, axis=-1)            # [F, K]
     s = jnp.sum(a, axis=0, keepdims=True)          # [1, K]
     v1 = jax.lax.dot_general(
-        x, a, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        x, a.astype(x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) - s * c2
     col = jnp.maximum(jnp.sum(v1 * v1, axis=0, keepdims=True), _EPS)
     inv_c = jax.lax.rsqrt(col)
@@ -90,10 +96,12 @@ def _bwd_kernel(x_ref, l_ref, c2_ref, dv3_ref, dx_ref, dl_ref, dc2_ref):
     dc2_ref[...] += -dv1 * s
 
     ds = -jnp.sum(dv1 * c2, axis=0, keepdims=True)  # [1, K]
-    da = jnp.dot(x, dv1, preferred_element_type=jnp.float32) + ds  # [F, K]
+    dv1_c = dv1.astype(x.dtype)  # one rounding (~2^-9 rel) on the cotangent
+    da = jnp.dot(x, dv1_c, preferred_element_type=jnp.float32) + ds  # [F, K]
     dl = a * (da - jnp.sum(a * da, axis=-1, keepdims=True))        # softmax VJP
     dx = jax.lax.dot_general(
-        a, dv1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a.astype(x.dtype), dv1_c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [F, D] = A · dV₁ᵀ
 
     dx_ref[0] = dx.astype(dx_ref.dtype)
@@ -112,7 +120,11 @@ def _forward_impl(x, a_logits, c2, interpret):
             pl.BlockSpec((d, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, d, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, d, k), jnp.float32),
+        # descriptor in x's dtype: the caller casts to compute dtype right
+        # after anyway (modules.py#NetVLAD), so emitting bf16 here halves the
+        # kernel's output write AND removes that 400 MB XLA cast pass — with
+        # bit-identical end-to-end values (same rounding point)
+        out_shape=jax.ShapeDtypeStruct((b, d, k), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=b * 2 * f * d * k,
             bytes_accessed=b * (f * d * 2 + f * k * 4 + d * k * 4),
@@ -171,7 +183,9 @@ def _vjp_fwd(x, a_logits, c2, interpret):
 
 def _vjp_bwd(interpret, residuals, dv3):
     x, a_logits, c2 = residuals
-    dx, dl, dc2 = _backward_impl(x, a_logits, c2, dv3.astype(jnp.float32), interpret)
+    # dv3 stays in its native (typically bf16) dtype — the kernel upcasts in
+    # VMEM, so the cotangent crosses HBM at half width
+    dx, dl, dc2 = _backward_impl(x, a_logits, c2, dv3, interpret)
     return dx, dl, dc2
 
 
