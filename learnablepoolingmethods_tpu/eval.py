@@ -45,7 +45,7 @@ def define_flags():
         "fast_forward",
         False,
         "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
-        "model — NetVLADModelLF and DbofModel.",
+        "model — NetVLAD/NetFV/NetRVLAD/SoftDbof LF models and DbofModel.",
     )
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
@@ -106,9 +106,25 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 use_pallas=jax.default_backend() == "tpu",
                 return_probs=True,
             )
+        elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
+            from learnablepoolingmethods_tpu.ops.fast_lf import (
+                build_fast_lf_inference,
+                prepare_fast_lf_params,
+            )
+
+            fp = jax.device_put(
+                prepare_fast_lf_params(variables, mcfg, FLAGS.model), repl
+            )
+            fast_fwd = build_fast_lf_inference(
+                mcfg,
+                FLAGS.model,
+                use_pallas=jax.default_backend() == "tpu",
+                return_probs=True,
+            )
         else:
             raise ValueError(
-                f"--fast_forward supports NetVLADModelLF and DbofModel, "
+                f"--fast_forward supports NetVLADModelLF, DbofModel, "
+                f"NetFVModelLF, NetRVLADModelLF and SoftDbofModelLF, "
                 f"got {FLAGS.model!r}"
             )
 

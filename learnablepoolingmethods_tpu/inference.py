@@ -110,9 +110,25 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 # Mosaic kernels need real TPU; elsewhere the identical jnp path
                 use_pallas=jax.default_backend() == "tpu",
             )
+        elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
+            from learnablepoolingmethods_tpu.ops.fast_lf import (
+                build_fast_lf_inference,
+                prepare_fast_lf_params,
+            )
+
+            fp = jax.device_put(
+                prepare_fast_lf_params(variables, mcfg, FLAGS.model), repl
+            )
+            fast = build_fast_lf_inference(
+                mcfg,
+                FLAGS.model,
+                top_k=top_k,
+                use_pallas=jax.default_backend() == "tpu",
+            )
         else:
             raise ValueError(
-                f"--fast_infer supports NetVLADModelLF and DbofModel, "
+                f"--fast_infer supports NetVLADModelLF, DbofModel, "
+                f"NetFVModelLF, NetRVLADModelLF and SoftDbofModelLF, "
                 f"got {FLAGS.model!r}"
             )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))

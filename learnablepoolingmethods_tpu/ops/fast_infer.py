@@ -49,6 +49,33 @@ def _fold_bn(params_bn: Dict[str, Any], stats_bn: Dict[str, Any]):
     return scale.astype(jnp.float32), bias.astype(jnp.float32)
 
 
+def gated_moe_tail(fp, h, m: int, v: int, ct, top_k: int, return_probs: bool):
+    """Folded context gating + vocab-on-lanes MoE + exact top-k — the tail
+    shared by every gated LF fast path (fp keys: gate_w/g_scale/g_bias/
+    gates_kernel/experts_kernel/experts_bias)."""
+    b = h.shape[0]
+    gates = (
+        jnp.matmul(h.astype(ct), fp["gate_w"], preferred_element_type=jnp.float32)
+        * fp["g_scale"]
+        + fp["g_bias"]
+    )
+    h = (h * jax.nn.sigmoid(gates)).astype(ct)
+
+    ga = jnp.matmul(
+        h, fp["gates_kernel"], preferred_element_type=jnp.float32
+    ).reshape(b, m + 1, v)
+    ea = (
+        jnp.matmul(h, fp["experts_kernel"], preferred_element_type=jnp.float32)
+        + fp["experts_bias"]
+    ).reshape(b, m, v)
+    probs = jnp.sum(
+        jax.nn.softmax(ga, axis=1)[:, :m] * jax.nn.sigmoid(ea), axis=1
+    )
+    if return_probs:
+        return probs
+    return top_k_exact(probs, min(top_k, v))
+
+
 def prepare_fast_params(
     variables: Dict[str, Any],
     mcfg: ModelConfig,
@@ -191,27 +218,6 @@ def build_fast_netvlad_inference(
             + jnp.matmul(vlad_aud, fp["w_aud"], preferred_element_type=jnp.float32)
             + fp["hidden_b"]
         )
-
-        gates = (
-            jnp.matmul(h.astype(ct), fp["gate_w"], preferred_element_type=jnp.float32)
-            * fp["g_scale"]
-            + fp["g_bias"]
-        )
-        h = (h * jax.nn.sigmoid(gates)).astype(ct)
-
-        ga = jnp.matmul(
-            h, fp["gates_kernel"], preferred_element_type=jnp.float32
-        ).reshape(b, m + 1, v)
-        ea = (
-            jnp.matmul(h, fp["experts_kernel"], preferred_element_type=jnp.float32)
-            + fp["experts_bias"]
-        ).reshape(b, m, v)
-        probs = jnp.sum(
-            jax.nn.softmax(ga, axis=1)[:, :m] * jax.nn.sigmoid(ea), axis=1
-        )
-        if return_probs:
-            return probs
-        values, indices = top_k_exact(probs, min(top_k, v))
-        return values, indices
+        return gated_moe_tail(fp, h, m, v, ct, top_k, return_probs)
 
     return forward

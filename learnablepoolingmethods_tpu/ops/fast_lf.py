@@ -1,0 +1,236 @@
+"""BN-folded fast inference for the remaining LOUPE "LF" models.
+
+Extends the speed-of-light treatment of ``ops/fast_infer.py`` (NetVLADModelLF)
+and ``ops/fast_dbof.py`` (DbofModel) to the rest of the LF family
+(ref: frame_level_models.py#NetFVModelLF / #NetRVLADModelLF /
+#SoftDbofModelLF — sample → input BN → per-modality pooling → hidden FC →
+context gating → MoE):
+
+- **NetFVModelLF**: per-modality fused Pallas NetFV kernel
+  (ops/netfv_pallas.py — softmax assignment + 1st/2nd-order statistics +
+  both normalizations in VMEM); the hidden FC consumes (fv1, fv2) through
+  row-split weights, so the [B, 2·D·K] concat never materializes.
+- **NetRVLADModelLF**: the fused NetVLAD kernel with zero centers
+  (RVLAD ≡ VLAD without the learned-center subtraction).
+- **SoftDbofModelLF**: the soft-assignment histogram is a plain
+  matmul → softmax → frame-sum — XLA already fuses it; no kernel needed.
+
+All share: uint8 frame sampling before dequantize (exact reorder), folded
+input/cluster BN affines, and the gated-MoE tail from fast_infer.
+Parity vs ``model.apply(training=False)`` with presampled inputs is checked
+per model in tests/unit/test_fast_lf.py (interpret-mode kernels).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from learnablepoolingmethods_tpu.config import ModelConfig
+from learnablepoolingmethods_tpu.ops.fast_infer import _fold_bn, gated_moe_tail
+from learnablepoolingmethods_tpu.ops.netfv_pallas import netfv_fused, netfv_reference
+from learnablepoolingmethods_tpu.ops.netvlad_pallas import (
+    netvlad_fused,
+    netvlad_reference,
+)
+from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
+from learnablepoolingmethods_tpu.ops.softdbow_pallas import (
+    softdbow_fused,
+    softdbow_reference,
+)
+from learnablepoolingmethods_tpu.utils.quantization import dequantize
+
+FAST_LF_MODELS = ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF")
+
+_MODULE_PREFIX = {
+    "NetFVModelLF": "NetFV",
+    "NetRVLADModelLF": "NetRVLAD",
+    "SoftDbofModelLF": "SoftDBoW",
+}
+
+
+def _model_geometry(mcfg: ModelConfig, model_name: str):
+    """(cluster_size_rgb, relu flag, per-descriptor width fn) per model."""
+    if model_name == "NetFVModelLF":
+        return mcfg.fv_cluster_size, mcfg.fv_relu, lambda d, k: 2 * d * k
+    if model_name == "NetRVLADModelLF":
+        return mcfg.rvlad_cluster_size, mcfg.netvlad_relu, lambda d, k: d * k
+    if model_name == "SoftDbofModelLF":
+        return mcfg.dbow_cluster_size, mcfg.netvlad_relu, lambda d, k: k
+    raise ValueError(f"unsupported fast-LF model {model_name!r}")
+
+
+def prepare_fast_lf_params(
+    variables: Dict[str, Any],
+    mcfg: ModelConfig,
+    model_name: str,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Fold BNs / cast weights once on host → flat param pytree."""
+    k_rgb, relu, width = _model_geometry(mcfg, model_name)
+    if not mcfg.netvlad_add_batch_norm or relu or not mcfg.gating:
+        raise ValueError(
+            f"fast path for {model_name} supports the default config "
+            "(BN on, relu off, gating on)"
+        )
+    if mcfg.netvlad_dimred > 0:
+        raise ValueError("fast LF path does not support --netvlad_dimred")
+    p = variables["params"]
+    s = variables["batch_stats"]
+    ct = compute_dtype
+    prefix = _MODULE_PREFIX[model_name]
+
+    mods = []
+    offset = 0
+    hidden_w = p["hidden1_weights"]
+    for i in (0, 1):
+        name = f"{prefix}_{i}"
+        if name not in p:
+            break
+        mp = p[name]
+        scale, bias = _fold_bn(mp["cluster_bn"], s[name]["cluster_bn"])
+        d, k = mp["cluster_weights"].shape
+        entry = {
+            "cluster": mp["cluster_weights"].astype(ct),
+            "scale": scale,
+            "bias": bias,
+        }
+        if model_name == "NetFVModelLF":
+            c2 = mp["cluster_weights2"].reshape(d, k).astype(jnp.float32)
+            if mcfg.fv_couple_weights:
+                covar = mcfg.fv_coupling_factor * mp["cluster_weights"]
+            else:
+                covar = mp["covar_weights"]
+            entry["c2"] = c2
+            entry["covar"] = (
+                jnp.square(covar).astype(jnp.float32) + 1e-6
+            ).reshape(d, k)
+            w = width(d, k)
+            # fv1 rows then fv2 rows (modules.py#NetFV concat order)
+            entry["w1"] = hidden_w[offset : offset + d * k].astype(ct)
+            entry["w2"] = hidden_w[offset + d * k : offset + w].astype(ct)
+        elif model_name == "NetRVLADModelLF":
+            entry["c2"] = jnp.zeros((d, k), jnp.float32)  # RVLAD: no centers
+            w = width(d, k)
+            entry["w1"] = hidden_w[offset : offset + w].astype(ct)
+        else:  # SoftDbofModelLF
+            w = width(d, k)
+            entry["w1"] = hidden_w[offset : offset + w].astype(ct)
+        offset += w
+        mods.append(entry)
+    if offset != hidden_w.shape[0]:
+        raise ValueError(
+            f"hidden FC row split mismatch: consumed {offset} of "
+            f"{hidden_w.shape[0]} rows"
+        )
+
+    in_scale, in_bias = _fold_bn(p["input_bn"], s["input_bn"])
+    g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
+    moe = p["MoeModel_0"]
+    return {
+        "in_scale": in_scale,
+        "in_bias": in_bias,
+        "mods": mods,
+        "hidden_b": p["hidden1_biases"].astype(jnp.float32),
+        "gate_w": p["gating"]["gating_weights"].astype(ct),
+        "g_scale": g_scale,
+        "g_bias": g_bias,
+        "gates_kernel": moe["gates_kernel"].astype(ct),
+        "experts_kernel": moe["experts_kernel"].astype(ct),
+        "experts_bias": moe["experts_bias"].astype(jnp.float32),
+    }
+
+
+def build_fast_lf_inference(
+    mcfg: ModelConfig,
+    model_name: str,
+    top_k: int = 20,
+    use_pallas: bool = True,
+    pallas_interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    return_probs: bool = False,
+):
+    """fn(fp, features, num_frames, rng, presampled=False) →
+    (values [B,k], indices [B,k]) or probs [B,V] when ``return_probs``."""
+    _model_geometry(mcfg, model_name)  # validate the name eagerly
+    m = mcfg.moe_num_mixtures
+    v = mcfg.vocab_size
+    iterations = mcfg.iterations
+    ct = compute_dtype
+
+    def _pooled_contrib(x_mod, entry):
+        b = x_mod.shape[0]
+        if model_name == "NetFVModelLF":
+            fv_fn = netfv_fused if use_pallas else netfv_reference
+            kw = {"interpret": pallas_interpret} if use_pallas else {}
+            fv1, fv2 = fv_fn(
+                x_mod, entry["cluster"], entry["scale"], entry["bias"],
+                entry["c2"], entry["covar"], **kw,
+            )
+            return jnp.matmul(
+                fv1.reshape(b, -1), entry["w1"],
+                preferred_element_type=jnp.float32,
+            ) + jnp.matmul(
+                fv2.reshape(b, -1), entry["w2"],
+                preferred_element_type=jnp.float32,
+            )
+        if model_name == "NetRVLADModelLF":
+            if use_pallas:
+                out = netvlad_fused(
+                    x_mod, entry["cluster"], entry["scale"], entry["bias"],
+                    entry["c2"], interpret=pallas_interpret,
+                )
+            else:
+                out = netvlad_reference(
+                    x_mod, entry["cluster"], entry["scale"], entry["bias"],
+                    entry["c2"],
+                )
+            return jnp.matmul(
+                out.reshape(b, -1), entry["w1"],
+                preferred_element_type=jnp.float32,
+            )
+        # SoftDbofModelLF — fused histogram kernel (XLA materializes the
+        # [B, F, K] assignment tensor in HBM otherwise: 21 → ~5 ms at B=512)
+        if use_pallas:
+            bow = softdbow_fused(
+                x_mod, entry["cluster"], entry["scale"], entry["bias"],
+                interpret=pallas_interpret,
+            )
+        else:
+            bow = softdbow_reference(
+                x_mod, entry["cluster"], entry["scale"], entry["bias"]
+            )
+        bow = l2_normalize(bow, axis=1).astype(ct)
+        return jnp.matmul(bow, entry["w1"], preferred_element_type=jnp.float32)
+
+    def forward(fp, features, num_frames, rng, presampled: bool = False):
+        if not presampled:
+            b = features.shape[0]
+            nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), features.shape[1])
+            u = jax.random.uniform(rng, (b, iterations), dtype=jnp.float32)
+            idx = jnp.minimum(
+                (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
+                features.shape[1] - 1,
+            )
+            features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+
+        x = (
+            dequantize(features, dtype=ct)
+            if features.dtype == jnp.uint8
+            else features.astype(ct)
+        )
+        x = l2_normalize(x, axis=-1)
+        x = (x.astype(jnp.float32) * fp["in_scale"] + fp["in_bias"]).astype(ct)
+
+        h = fp["hidden_b"]
+        d_rgb = fp["mods"][0]["cluster"].shape[0]
+        slices = [x[:, :, :d_rgb]]
+        if len(fp["mods"]) > 1:
+            slices.append(x[:, :, d_rgb:])
+        for x_mod, entry in zip(slices, fp["mods"]):
+            h = h + _pooled_contrib(x_mod, entry)
+        return gated_moe_tail(fp, h, m, v, ct, top_k, return_probs)
+
+    return forward

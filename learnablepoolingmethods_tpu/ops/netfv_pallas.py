@@ -38,10 +38,13 @@ def _netfv_kernel(x_ref, c_ref, scale_ref, bias_ref, c2_ref, covar_ref,
     a = jax.nn.softmax(logits, axis=-1)  # [F, K]
     a_sum = jnp.sum(a, axis=0, keepdims=True)  # [1, K]
 
-    xf = x.astype(jnp.float32)
+    # MXU operands in x's dtype (bf16 in production runs at 4x the fp32 MXU
+    # rate; accumulation stays fp32). x*x is exact in bf16 up to rounding of
+    # the product — the same rounding the flax path's bf16 einsum makes.
+    ax = a.astype(x.dtype)
     contract = (((0,), (0,)), ((), ()))
-    fv1 = jax.lax.dot_general(xf, a, contract, preferred_element_type=jnp.float32)
-    fv2 = jax.lax.dot_general(xf * xf, a, contract, preferred_element_type=jnp.float32)
+    fv1 = jax.lax.dot_general(x, ax, contract, preferred_element_type=jnp.float32)
+    fv2 = jax.lax.dot_general(x * x, ax, contract, preferred_element_type=jnp.float32)
 
     c2 = c2_ref[...]
     covar = covar_ref[...]

@@ -1,0 +1,95 @@
+"""Fused SoftDBoW histogram kernel (ref: video_pooling_modules.py#SoftDBoW).
+
+bow[b, k] = Σ_f softmax_k(X[b,f]·C · scale + bias)
+
+XLA materializes the [B, F, K] soft-assignment tensor in HBM (~2.5 GB at
+B=512, K=4096 — measured 21 ms); this kernel keeps it in VMEM.  The frame
+axis is split across a second grid dimension (the per-frame softmax rows are
+independent) so the [F/2, K] fp32 logits block, the resident [D, K] cluster
+matrix, and the double-buffered inputs fit the 16 MB VMEM budget; the [1, K]
+histogram block accumulates across the revisited output.  Final ℓ2
+normalization happens on the tiny [B, K] result in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F_SPLIT = 2
+
+
+def _kernel(x_ref, c_ref, scale_ref, bias_ref, out_ref):
+    x = x_ref[0]  # [F/split, D]
+    logits = (
+        jnp.dot(x, c_ref[...], preferred_element_type=jnp.float32)
+        * scale_ref[...]
+        + bias_ref[...]
+    )
+    a = jax.nn.softmax(logits, axis=-1)
+    part = jnp.sum(a, axis=0, keepdims=True)  # [1, K]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def softdbow_fused(
+    x,             # [B, F, D] (bf16 or f32)
+    cluster,       # [D, K]
+    assign_scale,  # [K] folded BN scale
+    assign_bias,   # [K] folded BN bias
+    *,
+    interpret: bool = False,
+):
+    """Returns the raw (unnormalized) histogram [B, K] fp32."""
+    b, f, d = x.shape
+    k = cluster.shape[-1]
+    # Mosaic block sublanes must be divisible by 8 (or equal the axis)
+    split = _F_SPLIT if (f % _F_SPLIT == 0 and (f // _F_SPLIT) % 8 == 0) else 1
+    fs = f // split
+    return pl.pallas_call(
+        _kernel,
+        grid=(b, split),
+        in_specs=[
+            pl.BlockSpec((1, fs, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        # [B, 1, K] keeps the (sublane, lane) block equal to the array's
+        # trailing dims (Mosaic requires divisible-by-(8,128) or full-axis)
+        out_specs=pl.BlockSpec((1, 1, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=b * 2 * f * d * k,
+            bytes_accessed=b * (f * d * x.dtype.itemsize + k * 4) + d * k * 2,
+            transcendentals=b * f * k,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        cluster.astype(x.dtype),
+        assign_scale.reshape(1, k).astype(jnp.float32),
+        assign_bias.reshape(1, k).astype(jnp.float32),
+    ).reshape(b, k)
+
+
+def softdbow_reference(x, cluster, assign_scale, assign_bias):
+    """Pure-jnp twin (parity oracle)."""
+    logits = (
+        jnp.einsum(
+            "bfd,dk->bfk", x, cluster.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        * assign_scale.reshape(1, 1, -1)
+        + assign_bias.reshape(1, 1, -1)
+    )
+    return jnp.sum(jax.nn.softmax(logits, axis=-1), axis=1)
