@@ -102,8 +102,62 @@ def _configs_from_meta(meta: dict) -> Tuple[ModelConfig, FeatureConfig]:
     return ModelConfig(**mc), FeatureConfig(**fc)
 
 
-def load_exported_model(export_dir: str):
-    """Rebuild (model, params, batch_stats, mcfg, fcfg, serve_fn)."""
+def _try_fast_predict(model_name, mcfg, variables, top_k: int):
+    """Build the BN-folded fast forward when one exists for this model and
+    config; returns fn(features, num_frames, rng) → (values, indices), or
+    None.  Weights are jit ARGUMENTS held on the host side of the closure
+    (never traced constants — CLAUDE.md HTTP 413 rule)."""
+    import jax as _jax
+
+    use_pallas = _jax.default_backend() == "tpu"
+    try:
+        if model_name == "NetVLADModelLF":
+            from learnablepoolingmethods_tpu.ops.fast_infer import (
+                build_fast_netvlad_inference,
+                prepare_fast_params,
+            )
+
+            fp = _jax.device_put(prepare_fast_params(variables, mcfg))
+            fn = build_fast_netvlad_inference(
+                mcfg, top_k=top_k, use_pallas=use_pallas
+            )
+        elif model_name == "DbofModel":
+            from learnablepoolingmethods_tpu.ops.fast_dbof import (
+                build_fast_dbof_inference,
+                prepare_fast_dbof_params,
+            )
+
+            fp = _jax.device_put(prepare_fast_dbof_params(variables, mcfg))
+            fn = build_fast_dbof_inference(mcfg, top_k=top_k)
+        else:
+            from learnablepoolingmethods_tpu.ops.fast_lf import (
+                FAST_LF_MODELS,
+                build_fast_lf_inference,
+                prepare_fast_lf_params,
+            )
+
+            if model_name not in FAST_LF_MODELS:
+                return None
+            fp = _jax.device_put(prepare_fast_lf_params(variables, mcfg, model_name))
+            fn = build_fast_lf_inference(
+                mcfg, model_name, top_k=top_k, use_pallas=use_pallas
+            )
+    except ValueError:
+        # non-default config the fast path doesn't cover — flax handles it
+        return None
+    jitted = jax.jit(fn, static_argnames=("presampled",))
+    return lambda feats, nfs, rng: jitted(fp, feats, nfs, rng)
+
+
+def load_exported_model(export_dir: str, prefer_fast: bool = False):
+    """Rebuild (model, params, batch_stats, mcfg, fcfg, serve_fn).
+
+    ``prefer_fast``: serve through the BN-folded fused forward when the
+    model/config has one (NetVLAD/NetFV/NetRVLAD/SoftDbof LF, DBoF) —
+    1.4–5× the flax throughput; silently falls back when unsupported.
+    Off by default because the fast path draws its frame-sampling
+    randomness differently than the flax module (same distribution,
+    different stream), so sampled-model outputs are not bit-comparable."""
     with open(os.path.join(export_dir, _CONFIG_FILE)) as f:
         meta = json.load(f)
     mcfg, fcfg = _configs_from_meta(meta)
@@ -130,6 +184,12 @@ def load_exported_model(export_dir: str):
             model, mcfg, fcfg.frame_features, top_k=meta["top_k"]
         )
     )
+    fast_predict = None
+    if prefer_fast and fcfg.frame_features:
+        fast_predict = _try_fast_predict(
+            meta["model"], mcfg,
+            {"params": params, "batch_stats": batch_stats}, meta["top_k"],
+        )
 
     from learnablepoolingmethods_tpu.data import tfrecord_io
     from learnablepoolingmethods_tpu.data.readers import resize_axis
@@ -157,12 +217,18 @@ def load_exported_model(export_dir: str):
                     mats.append(resize_axis(mat, 0, fcfg.max_frames))
                 feats.append(np.concatenate(mats, axis=1))
                 nfs.append(min(n or 0, fcfg.max_frames))
-            values, indices = predict(
-                params,
-                batch_stats,
-                np.stack(feats),
-                np.asarray(nfs, np.int32),
-            )
+            if fast_predict is not None:
+                values, indices = fast_predict(
+                    np.stack(feats), np.asarray(nfs, np.int32),
+                    jax.random.key(0),
+                )
+            else:
+                values, indices = predict(
+                    params,
+                    batch_stats,
+                    np.stack(feats),
+                    np.asarray(nfs, np.int32),
+                )
         else:
             feats = []
             for rec in serialized_records:

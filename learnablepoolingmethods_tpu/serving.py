@@ -54,6 +54,14 @@ def define_flags():
         "How long the batching queue waits to coalesce concurrent requests "
         "into one device batch.",
     )
+    flags.DEFINE_bool(
+        "fast_serve",
+        False,
+        "Serve through the BN-folded fused forward when the model has one "
+        "(NetVLAD/NetFV/NetRVLAD/SoftDbof LF, DBoF); falls back to the flax "
+        "forward otherwise. Frame sampling uses a different (equally "
+        "distributed) random stream than the flax path.",
+    )
 
 
 def frame_records(records: List[bytes]) -> bytes:
@@ -74,11 +82,14 @@ def unframe_records(body: bytes) -> List[bytes]:
 
 
 class ModelServer:
-    def __init__(self, export_dir: str, serving_batch_size: int = 32):
+    def __init__(self, export_dir: str, serving_batch_size: int = 32,
+                 fast_serve: bool = False):
         from learnablepoolingmethods_tpu.export_model import load_exported_model
 
         (self.model, self.params, self.batch_stats,
-         self.mcfg, self.fcfg, self._serve) = load_exported_model(export_dir)
+         self.mcfg, self.fcfg, self._serve) = load_exported_model(
+            export_dir, prefer_fast=fast_serve
+        )
         self.batch_size = serving_batch_size
 
     def warmup(self):
@@ -248,13 +259,15 @@ def serve_forever(
     serving_batch_size: int = 32,
     single_thread: bool = False,
     batch_linger_ms: float = 2.0,
+    fast_serve: bool = False,
 ):
     """Default mode: ThreadingHTTPServer accepts concurrent requests, the
     BatchingQueue coalesces them, and the dispatch loop runs on THIS (main)
     thread — all jax dispatch stays main-thread, which the axon TPU tunnel
     requires (CLAUDE.md).  ``single_thread`` restores the round-1 behavior:
     one request at a time, no queue."""
-    model_server = ModelServer(export_dir, serving_batch_size)
+    model_server = ModelServer(export_dir, serving_batch_size,
+                               fast_serve=fast_serve)
     logging.info("warming up compiled forward ...")
     model_server.warmup()
     if single_thread:
@@ -291,6 +304,7 @@ def main(unused_argv):
         FLAGS.serving_batch_size,
         single_thread=FLAGS.single_thread,
         batch_linger_ms=FLAGS.batch_linger_ms,
+        fast_serve=FLAGS.fast_serve,
     )
 
 

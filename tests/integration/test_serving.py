@@ -185,3 +185,46 @@ def test_batching_queue_error_isolated(served_batching):
     records = list(tio.read_tfrecords(data_path))
     status, body = _post(port, "/predict", serving.frame_records(records[:1]))
     assert status == 200, body
+
+
+def test_fast_serve_netvlad(tmp_path):
+    """prefer_fast serving: a frame-level NetVLAD export served through the
+    BN-folded fused forward (jnp path on CPU) returns valid top-k output and
+    actually selects the fast path."""
+    from learnablepoolingmethods_tpu import export_model as em
+
+    mcfg = ModelConfig(
+        vocab_size=12, netvlad_cluster_size=4, netvlad_hidden_size=8,
+        iterations=6, presampled=False,
+    )
+    fcfg = FeatureConfig(("rgb", "audio"), (1024, 128), frame_features=True,
+                         max_frames=6)
+    model = create_model("NetVLADModelLF", mcfg)
+    example = {
+        "features": np.zeros((1, 6, 1152), np.uint8),
+        "num_frames": np.ones((1,), np.int32),
+    }
+    params, bs = step_lib.init_model_variables(model, example, True)
+    export_dir = str(tmp_path / "export")
+    export_model(export_dir, "NetVLADModelLF", mcfg, fcfg, params, bs, top_k=3)
+
+    # the fast builder is selected for this model/config
+    assert em._try_fast_predict(
+        "NetVLADModelLF", mcfg,
+        {"params": params, "batch_stats": bs}, 3,
+    ) is not None
+
+    server = serving.ModelServer(export_dir, 2, fast_serve=True)
+    rng = np.random.default_rng(0)
+    rec = fixtures.encode_frame_sequence_example(
+        b"v0", [1],
+        rng.integers(0, 256, size=(6, 1024), dtype=np.uint8),
+        rng.integers(0, 256, size=(6, 128), dtype=np.uint8),
+        feature_names=("rgb", "audio"),
+    )
+    out = server.predict([rec, rec])
+    assert len(out) == 2
+    for row in out:
+        assert len(row["classes"]) == 3 and len(row["scores"]) == 3
+        assert all(0 <= c < 12 for c in row["classes"])
+        assert sorted(row["scores"], reverse=True) == row["scores"]
