@@ -29,11 +29,11 @@ def synthetic_path(tmp_path_factory):
     return path
 
 
-def _train(path, num_epochs=20, state=None, seed=0):
+def _train(path, num_epochs=20, state=None, seed=0, mcfg=MCFG, tcfg=TCFG):
     reader = YT8MAggregatedFeatureReader(num_classes=32, feature_sizes=(16, 4))
-    model = create_model("LogisticModel", MCFG)
+    model = create_model("LogisticModel", mcfg)
     loss_obj = losses.CrossEntropyLoss()
-    tx = optimizers.create_optimizer(TCFG)
+    tx = optimizers.create_optimizer(tcfg)
     batches = pipeline.batch_iterator(
         reader, path, 64, num_epochs=num_epochs, shuffle=True, seed=seed
     )
@@ -45,7 +45,7 @@ def _train(path, num_epochs=20, state=None, seed=0):
     state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
     rng = jax.device_put(jax.random.key(0), mesh_lib.replicated_sharding(mesh))
     train_step = jax.jit(
-        step_lib.make_train_step(model, loss_obj, TCFG, MCFG, False), donate_argnums=0
+        step_lib.make_train_step(model, loss_obj, tcfg, mcfg, False), donate_argnums=0
     )
     logs = []
     batch = first
@@ -73,6 +73,26 @@ def test_training_converges_and_gap_improves(synthetic_path):
     gap_last = eval_util.calculate_gap(last_preds, last_labels)
     assert gap_last > gap_first
     assert gap_last > 0.9
+
+
+def test_fused_adam_sr_training_converges(synthetic_path):
+    """End-to-end learning under the stochastically-rounded bf16 optimizer
+    (ops/fused_adam.py): SR noise must not break memorization — the
+    convergence bar matches the fp32 optax run up to a small slack."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(MCFG, param_dtype="bfloat16")
+    tcfg = dataclasses.replace(TCFG, fused_adam=True)
+    state, _, _, logs = _train(synthetic_path, mcfg=mcfg, tcfg=tcfg)
+    first_loss, first_preds, first_labels = logs[0]
+    last_loss, last_preds, last_labels = logs[-1]
+    assert last_loss < first_loss * 0.7
+    gap_last = eval_util.calculate_gap(last_preds, last_labels)
+    assert gap_last > 0.88, gap_last
+    # the SR path really ran on bf16 state
+    assert state.opt_state.nu[
+        "fc"
+    ]["kernel"].dtype == jax.numpy.bfloat16
 
 
 def test_checkpoint_save_restore_roundtrip(synthetic_path, tmp_path):
