@@ -88,11 +88,22 @@ def bench(batch: int = 512, iters: int = 32, use_pallas: bool = True):
 
     chain(1)  # compile + settle
     floor = _sync_floor(jax, jnp)
+    # The shared-host environment jitters ±20% between windows; sample more
+    # rounds and keep the best sustained one, stopping early once two
+    # consecutive rounds fail to improve (device time per round is ~0.2 s —
+    # compile dominates the wall clock regardless).
     best = 1e9
-    for _ in range(3):
+    stale = 0
+    for _ in range(10):
         t0 = time.perf_counter()
         chain(iters)
-        best = min(best, time.perf_counter() - t0)
+        t = time.perf_counter() - t0
+        if t < best:
+            best, stale = t, 0
+        else:
+            stale += 1
+            if stale >= 2 and best < 1e9:
+                break
     marginal = (best - floor) / iters
     return batch / marginal, marginal
 
