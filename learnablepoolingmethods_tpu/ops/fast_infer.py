@@ -198,7 +198,16 @@ def build_fast_netvlad_inference(
                 (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
                 features.shape[1] - 1,
             )
-            features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+            if features.dtype == jnp.uint8:
+                from learnablepoolingmethods_tpu.models.model_utils import (
+                    gather_frames_u8,
+                )
+
+                features = gather_frames_u8(features, idx)
+            else:
+                features = jnp.take_along_axis(
+                    features, idx[:, :, None], axis=1
+                )
 
         x = (
             dequantize(features, dtype=ct)

@@ -150,3 +150,19 @@ def test_attention_models_ignore_padded_frames(name, rng):
         )
 
     np.testing.assert_allclose(run(feats_a), run(feats_b), atol=1e-5)
+
+
+def test_gather_frames_u8_exact_vs_take_along_axis():
+    """The int8 one-hot matmul gather must equal XLA's gather bit-for-bit
+    over the full uint8 range (models/model_utils.py#gather_frames_u8)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from learnablepoolingmethods_tpu.models.model_utils import gather_frames_u8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 256, size=(5, 13, 256), dtype=np.uint8))
+    idx = jnp.asarray(rng.integers(0, 13, size=(5, 9)).astype(np.int32))
+    got = gather_frames_u8(x, idx)
+    want = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    assert got.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
