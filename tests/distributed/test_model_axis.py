@@ -169,3 +169,71 @@ def test_multislice_mesh_train_step_equals_replicated(rng):
         rtol=1e-5, atol=1e-6,
     )
     np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
+
+
+def test_fused_adam_runs_sharded_and_matches_replicated():
+    """--fused_adam on a 4x2 model-sharded mesh: the pure-XLA SR update
+    shards with the params (GSPMD partitions the elementwise chain and the
+    rbg dither), and the resulting params must match the fully-replicated
+    1-D-mesh run of the identical step. rbg bits are NOT guaranteed
+    position-stable across shardings, so the comparison runs the
+    deterministic-rounding mode; a second sharded step in stochastic mode
+    must at least execute and keep every leaf finite."""
+    import dataclasses
+
+    from learnablepoolingmethods_tpu import losses as losses_lib
+    from learnablepoolingmethods_tpu.ops.fused_adam import FusedAdam
+
+    rng = np.random.default_rng(5)
+    mcfg = dataclasses.replace(MCFG, param_dtype="bfloat16")
+    tcfg = dataclasses.replace(TCFG, fused_adam=True)
+    model = create_model("NetVLADModelLF", mcfg)
+    batch = {
+        "features": rng.integers(0, 256, size=(8, 12, 24), dtype=np.uint8),
+        "labels": (rng.uniform(size=(8, mcfg.vocab_size)) < 0.2).astype(np.float32),
+        "num_frames": rng.integers(1, 13, size=(8,)).astype(np.int32),
+        "weights": np.ones(8, np.float32),
+    }
+    params, bs = step_lib.init_model_variables(model, batch, frame_features=True)
+
+    def run(mesh, stochastic):
+        tx = FusedAdam(
+            optimizers.learning_rate_schedule(tcfg),
+            clip_norm=tcfg.clip_gradient_norm,
+            stochastic=stochastic,
+        )
+        state = TrainState.create(params, bs, tx)
+        state = _shard_state(state, mesh)
+        rng_key = jax.device_put(
+            jax.random.key(0), mesh_lib.replicated_sharding(mesh)
+        )
+        step = jax.jit(
+            step_lib.make_train_step(
+                model, losses_lib.CrossEntropyLoss(), tcfg, mcfg, True
+            )
+        )
+        db = {
+            k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+            for k, v in batch.items()
+        }
+        new_state, metrics = step(state, db, rng_key)
+        return new_state, float(metrics["loss"])
+
+    mesh_2d = mesh_lib.create_mesh(model_parallelism=2)
+    mesh_1d = mesh_lib.create_mesh()
+    sharded, loss_2d = run(mesh_2d, stochastic=False)
+    repl, loss_1d = run(mesh_1d, stochastic=False)
+    assert np.isfinite(loss_2d) and abs(loss_2d - loss_1d) < 1e-3
+    for a, b in zip(
+        jax.tree.leaves(sharded.params), jax.tree.leaves(repl.params)
+    ):
+        chex.assert_trees_all_close(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=2e-2,  # bf16 state + cross-sharding reduction order
+        )
+
+    # stochastic mode on the 2-D mesh: executes and stays finite
+    sr_state, sr_loss = run(mesh_2d, stochastic=True)
+    assert np.isfinite(sr_loss)
+    for leaf in jax.tree.leaves(sr_state.params):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
