@@ -117,29 +117,13 @@ def make_train_step(
             # BN runs after sampling).  Same floor(U·nf) index distribution
             # as model_utils.sample_random_frames; the model is built with
             # presampled=True and skips its internal sampling.
-            b = features.shape[0]
-            nf = jnp.minimum(
-                jnp.asarray(num_frames, jnp.int32), features.shape[1]
+            from learnablepoolingmethods_tpu.models.model_utils import (
+                sample_frame_features,
             )
-            u = jax.random.uniform(
-                sampling_rng, (b, mcfg.iterations), dtype=jnp.float32
-            )
-            idx = jnp.minimum(
-                (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
-                features.shape[1] - 1,
-            )
-            if features.dtype == jnp.uint8:
-                # int8 one-hot matmul beats XLA's HBM row-gather 2.5x
-                # (19.9 -> 8.1 ms at B=2048; models/model_utils.py)
-                from learnablepoolingmethods_tpu.models.model_utils import (
-                    gather_frames_u8,
-                )
 
-                features = gather_frames_u8(features, idx)
-            else:
-                features = jnp.take_along_axis(
-                    features, idx[:, :, None], axis=1
-                )
+            features = sample_frame_features(
+                features, num_frames, mcfg.iterations, sampling_rng
+            )
         x = preprocess_input(features, compute_dtype)
         weights = batch.get("weights")
         if weights is None:

@@ -109,6 +109,10 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
     (never traced constants — CLAUDE.md HTTP 413 rule)."""
     import jax as _jax
 
+    if getattr(mcfg, "presampled", False):
+        # a presampled-config model consumes the input whole; the fast
+        # forwards would re-subsample it — keep the flax path
+        return None
     use_pallas = _jax.default_backend() == "tpu"
     try:
         if model_name == "NetVLADModelLF":
@@ -142,8 +146,10 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
             fn = build_fast_lf_inference(
                 mcfg, model_name, top_k=top_k, use_pallas=use_pallas
             )
-    except ValueError:
-        # non-default config the fast path doesn't cover — flax handles it
+    except (ValueError, KeyError):
+        # non-default config the fast path doesn't cover (KeyError: a params
+        # tree the preparer's layout assumptions don't match, e.g. a custom
+        # video-level classifier or a single-modality feature set)
         return None
     jitted = jax.jit(fn, static_argnames=("presampled",))
     return lambda feats, nfs, rng: jitted(fp, feats, nfs, rng)

@@ -58,6 +58,26 @@ def gather_frames_u8(features, frame_index):
     return (picked + 128).astype(jnp.uint8)
 
 
+def sample_frame_features(features, num_frames, num_samples: int, rng):
+    """floor(U·num_frames) iid frame sampling applied to a raw feature
+    tensor, choosing the fast uint8 one-hot-matmul gather when possible.
+
+    The single implementation behind the train step's ``--presample_frames``
+    path and every fast-inference sampler (core/step.py, ops/fast_infer.py,
+    ops/fast_dbof.py, ops/fast_lf.py) — same index distribution as
+    :func:`sample_random_frames`.
+    """
+    b, f = features.shape[0], features.shape[1]
+    nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), f)
+    u = jax.random.uniform(rng, (b, num_samples), dtype=jnp.float32)
+    idx = jnp.minimum(
+        (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32), f - 1
+    )
+    if features.dtype == jnp.uint8:
+        return gather_frames_u8(features, idx)
+    return jnp.take_along_axis(features, idx[:, :, None], axis=1)
+
+
 def sample_random_sequence(model_input, num_frames, num_samples: int, rng):
     """Random contiguous window (ref: model_utils.py#SampleRandomSequence)."""
     batch_size = model_input.shape[0]

@@ -32,6 +32,11 @@ def prepare_fast_dbof_params(variables, mcfg: ModelConfig, compute_dtype=jnp.bfl
     """Fold BNs (fusing input-BN + cluster-BN into the cluster matmul)."""
     if not mcfg.dbof_add_batch_norm:
         raise ValueError("fast DBoF path requires dbof_add_batch_norm=True")
+    if not mcfg.sample_random_frames:
+        raise ValueError(
+            "fast path samples iid frames; --nosample_random_frames "
+            "(contiguous windows) needs the flax forward"
+        )
     p = variables["params"]
     s = variables["batch_stats"]
     ct = compute_dtype
@@ -72,13 +77,11 @@ def build_fast_dbof_inference(
     def forward(fp, features, num_frames, rng, presampled: bool = False):
         b = features.shape[0]
         if not presampled:
-            nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), features.shape[1])
-            u = jax.random.uniform(rng, (b, iterations), dtype=jnp.float32)
-            idx = jnp.minimum(
-                (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
-                features.shape[1] - 1,
+            from learnablepoolingmethods_tpu.models.model_utils import (
+                sample_frame_features,
             )
-            features = jnp.take_along_axis(features, idx[:, :, None], axis=1)
+
+            features = sample_frame_features(features, num_frames, iterations, rng)
 
         x = (
             dequantize(features, dtype=ct)

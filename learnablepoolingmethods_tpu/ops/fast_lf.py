@@ -77,6 +77,11 @@ def prepare_fast_lf_params(
         )
     if mcfg.netvlad_dimred > 0:
         raise ValueError("fast LF path does not support --netvlad_dimred")
+    if not mcfg.sample_random_frames:
+        raise ValueError(
+            "fast path samples iid frames; --nosample_random_frames "
+            "(contiguous windows) needs the flax forward"
+        )
     p = variables["params"]
     s = variables["batch_stats"]
     ct = compute_dtype
@@ -207,23 +212,11 @@ def build_fast_lf_inference(
 
     def forward(fp, features, num_frames, rng, presampled: bool = False):
         if not presampled:
-            b = features.shape[0]
-            nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), features.shape[1])
-            u = jax.random.uniform(rng, (b, iterations), dtype=jnp.float32)
-            idx = jnp.minimum(
-                (u * nf[:, None].astype(jnp.float32)).astype(jnp.int32),
-                features.shape[1] - 1,
+            from learnablepoolingmethods_tpu.models.model_utils import (
+                sample_frame_features,
             )
-            if features.dtype == jnp.uint8:
-                from learnablepoolingmethods_tpu.models.model_utils import (
-                    gather_frames_u8,
-                )
 
-                features = gather_frames_u8(features, idx)
-            else:
-                features = jnp.take_along_axis(
-                    features, idx[:, :, None], axis=1
-                )
+            features = sample_frame_features(features, num_frames, iterations, rng)
 
         x = (
             dequantize(features, dtype=ct)

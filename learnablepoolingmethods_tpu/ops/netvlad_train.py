@@ -171,7 +171,10 @@ def netvlad_aggregate(x, a_logits, c2, interpret=False):
     """Fused softmax→aggregate→normalize with a hand-written backward.
 
     x [B,F,D] frames; a_logits [B,F,K] post-BN assignment logits;
-    c2 [D,K] cluster centers.  Returns normalized vlad [B, D, K] fp32.
+    c2 [D,K] cluster centers.  Returns normalized vlad [B, D, K] in x's
+    dtype (bf16 in production — the caller casts to compute dtype right
+    after, so emitting bf16 moves that rounding into the kernel and halves
+    the descriptor's HBM traffic; fp32 in the fp32-input parity tests).
     """
     return _forward_impl(x, a_logits, c2, interpret)
 

@@ -3,11 +3,14 @@
 bow[b, k] = Σ_f softmax_k(X[b,f]·C · scale + bias)
 
 XLA materializes the [B, F, K] soft-assignment tensor in HBM (~2.5 GB at
-B=512, K=4096 — measured 21 ms); this kernel keeps it in VMEM.  The frame
-axis is split across a second grid dimension (the per-frame softmax rows are
-independent) so the [F/2, K] fp32 logits block, the resident [D, K] cluster
-matrix, and the double-buffered inputs fit the 16 MB VMEM budget; the [1, K]
-histogram block accumulates across the revisited output.  Final ℓ2
+B=512, K=4096 — measured 21 ms); this kernel keeps it in VMEM (15.5 ms).
+The per-frame softmax rows are independent, so the frame axis CAN split
+across a second grid dimension with the [1, K] histogram block accumulating
+over the revisited output — the split engages when F/2 is sublane-aligned
+(F % 2 == 0 and (F/2) % 8 == 0; Mosaic block constraint).  The production
+shape F=300 fails that alignment and runs as one [300, K] block, which fits
+VMEM at K=4096 (~14 MB with the resident [D, K] cluster matrix); the split
+path matters for larger K or F and is parity-tested at F=16.  Final ℓ2
 normalization happens on the tiny [B, K] result in XLA.
 """
 

@@ -19,8 +19,14 @@ def _inputs(f):
     return x, c, scale, bias
 
 
-def test_fused_matches_reference_even_frames():
-    x, c, scale, bias = _inputs(10)  # split path (10 % 2 == 0)
+def test_fused_matches_reference_split_accumulation():
+    # F=16 engages split=2 (16 % 2 == 0 AND 8 % 8 == 0): exercises the
+    # grid-revisit zero-init/accumulate path of the kernel
+    from learnablepoolingmethods_tpu.ops import softdbow_pallas as sp
+
+    f = 16
+    assert f % sp._F_SPLIT == 0 and (f // sp._F_SPLIT) % 8 == 0
+    x, c, scale, bias = _inputs(f)
     got = softdbow_fused(x, c, scale, bias, interpret=True)
     want = softdbow_reference(x, c, scale, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
