@@ -166,3 +166,27 @@ def test_gather_frames_u8_exact_vs_take_along_axis():
     want = jnp.take_along_axis(x, idx[:, :, None], axis=1)
     assert got.dtype == jnp.uint8
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sample_random_frames_onehot_exact_vs_gather():
+    """The one-hot-matmul sampler must equal a take_along_axis gather
+    bit-for-bit for float inputs (single 1.0*v product, f32 accumulation)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from learnablepoolingmethods_tpu.models import model_utils
+
+    rng = np.random.default_rng(1)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.normal(0, 3, (4, 11, 32)), dtype)
+        nf = jnp.asarray([3, 11, 7, 1], jnp.int32)
+        key = jax.random.key(2)
+        got = model_utils.sample_random_frames(x, nf, 9, key)
+        # reproduce the index computation, then gather
+        u = jax.random.uniform(key, (4, 9), dtype=jnp.float32)
+        idx = jnp.minimum((u * nf.astype(jnp.float32)[:, None]).astype(jnp.int32), 10)
+        want = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+        assert got.dtype == dtype
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
