@@ -10,9 +10,11 @@ Reference parity notes:
 - input stage: ``tf.nn.l2_normalize(model_input_raw, last_dim)``
   (ref: train.py#build_graph) reproduced after on-device dequantize.
 - regularization: final_loss = label_loss + penalty · reg_loss where
-  reg_loss = Σ ½‖W‖² · l2_penalty over kernel-like params (the reference's
-  slim l2_regularizer(1e-8) collection, applied globally here) plus any
-  model-returned "regularization_loss".
+  reg_loss = Σ ½‖W‖² · l2_penalty over the HEAD kernels only by default
+  (``_HEAD_KERNEL_NAMES`` — the scope the reference's slim
+  l2_regularizer(1e-8) collections actually cover; ``--l2_reg_all_kernels``
+  widens it to every kernel-like param) plus any model-returned
+  "regularization_loss".
 - losses are weighted-averaged with the batch padding mask; on full batches
   this is exactly the reference's reduce_mean.
 """

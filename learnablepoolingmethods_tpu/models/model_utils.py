@@ -24,16 +24,29 @@ def sample_random_frames(model_input, num_frames, num_samples: int, rng):
     Returns: [B, num_samples, D]
     """
     batch_size = model_input.shape[0]
+    f = model_input.shape[1]
     u = jax.random.uniform(rng, (batch_size, num_samples), dtype=jnp.float32)
-    nf = jnp.asarray(num_frames, jnp.float32).reshape(batch_size, 1)
+    # clamp counts to the padded length BEFORE the multiply so the index
+    # distribution stays uniform over [0, F) when num_frames > F — the same
+    # clamp sample_frame_features applies (the two samplers share a
+    # distribution by contract).
+    nf = jnp.minimum(jnp.asarray(num_frames, jnp.int32), f)
+    nf = nf.astype(jnp.float32).reshape(batch_size, 1)
     frame_index = (u * nf).astype(jnp.int32)
     # guard: num_frames may legally equal the padded length; keep in-bounds.
-    frame_index = jnp.minimum(frame_index, model_input.shape[1] - 1)
+    frame_index = jnp.minimum(frame_index, f - 1)
     # one-hot matmul instead of take_along_axis: XLA's HBM row-gather is the
     # slowest op in the step at scale (19.9 ms on [2048,300,1152] uint8 —
     # float rows are wider still); the MXU permutation is EXACT for floats
-    # too (each output sums exactly one 1.0·v product in fp32).
-    f = model_input.shape[1]
+    # (each output sums exactly one 1.0·v product) PROVIDED the operands are
+    # not truncated first: the TPU default matmul precision rounds f32
+    # operands to bf16, so f32 inputs need Precision.HIGHEST to keep the
+    # selected rows bit-exact.  bf16/int operands are exact at any precision.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if model_input.dtype == jnp.float32
+        else None
+    )
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (batch_size, num_samples, f), 2)
         == frame_index[:, :, None]
@@ -41,6 +54,7 @@ def sample_random_frames(model_input, num_frames, num_samples: int, rng):
     picked = jax.lax.dot_general(
         onehot, model_input, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return picked.astype(model_input.dtype)
 

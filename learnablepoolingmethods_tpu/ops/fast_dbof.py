@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from learnablepoolingmethods_tpu.config import ModelConfig
-from learnablepoolingmethods_tpu.ops.fast_infer import _fold_bn
+from learnablepoolingmethods_tpu.ops.fast_infer import _fold_bn, _require_moe_head
 from learnablepoolingmethods_tpu.ops.normalize import l2_normalize
 from learnablepoolingmethods_tpu.ops.topk import top_k_exact
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
@@ -50,6 +50,7 @@ def prepare_fast_dbof_params(variables, mcfg: ModelConfig, compute_dtype=jnp.bfl
     b_folded = in_bias @ w * c_scale + c_bias              # [C]
 
     hw = p["hidden1_weights"].astype(jnp.float32) * h_scale[None, :]
+    _require_moe_head(p, mcfg)
     moe = p["MoeModel_0"]
     return {
         "cluster_w": w_folded.astype(ct),

@@ -49,6 +49,18 @@ def _fold_bn(params_bn: Dict[str, Any], stats_bn: Dict[str, Any]):
     return scale.astype(jnp.float32), bias.astype(jnp.float32)
 
 
+def _require_moe_head(params: Dict[str, Any], mcfg: ModelConfig):
+    """Every gated fast path hard-codes the MoE tail; fail with a clean
+    'unsupported config' error instead of a KeyError when the model was
+    built with a different --video_level_classifier_model."""
+    if mcfg.video_level_classifier_model != "MoeModel" or "MoeModel_0" not in params:
+        raise ValueError(
+            "fast path supports only the MoeModel classifier head "
+            f"(got --video_level_classifier_model="
+            f"{mcfg.video_level_classifier_model!r}); use the flax forward"
+        )
+
+
 def gated_moe_tail(fp, h, m: int, v: int, ct, top_k: int, return_probs: bool):
     """Folded context gating + vocab-on-lanes MoE + exact top-k — the tail
     shared by every gated LF fast path (fp keys: gate_w/g_scale/g_bias/
@@ -116,6 +128,7 @@ def prepare_fast_params(
     in_scale, in_bias = _fold_bn(p["input_bn"], s["input_bn"])
     g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
     hidden_w = p["hidden1_weights"]
+    _require_moe_head(p, mcfg)
     moe = p["MoeModel_0"]
     return {
         "in_scale": in_scale,

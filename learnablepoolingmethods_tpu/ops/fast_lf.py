@@ -29,7 +29,11 @@ import jax
 import jax.numpy as jnp
 
 from learnablepoolingmethods_tpu.config import ModelConfig
-from learnablepoolingmethods_tpu.ops.fast_infer import _fold_bn, gated_moe_tail
+from learnablepoolingmethods_tpu.ops.fast_infer import (
+    _fold_bn,
+    _require_moe_head,
+    gated_moe_tail,
+)
 from learnablepoolingmethods_tpu.ops.netfv_pallas import netfv_fused, netfv_reference
 from learnablepoolingmethods_tpu.ops.netvlad_pallas import (
     netvlad_fused,
@@ -133,6 +137,7 @@ def prepare_fast_lf_params(
 
     in_scale, in_bias = _fold_bn(p["input_bn"], s["input_bn"])
     g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
+    _require_moe_head(p, mcfg)
     moe = p["MoeModel_0"]
     return {
         "in_scale": in_scale,

@@ -57,13 +57,27 @@ class FusedAdamState(NamedTuple):
     nu: Any              # second moment: bf16 (stochastically rounded) / fp32
 
 
+_BF16_MAX = float(jnp.finfo(jnp.bfloat16).max)  # 3.3895e38, bits 0x7F7F0000
+
+
 def stochastic_round_bf16(x32: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
     """Unbiased f32 → bf16 rounding: add a uniform dither in [0, 2^16) to the
     bit pattern, truncate the low 16 bits.  ``bits`` is uint32; only its low
-    16 bits are used."""
-    u = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    16 bits are used.
+
+    The bit-pattern add is only valid for finite values below bf16_max:
+    dithering inside the top binade can carry into the inf exponent, and
+    dithering an inf/nan pattern produces garbage bits.  Those inputs take
+    the deterministic ``astype`` path instead (inf stays inf, nan stays nan,
+    near-max saturates by round-to-nearest) — they are outside the SR
+    lattice anyway, so no bias is introduced.
+    """
+    x32 = x32.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     u = (u + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+    dithered = jax.lax.bitcast_convert_type(u, jnp.float32).astype(jnp.bfloat16)
+    safe = jnp.isfinite(x32) & (jnp.abs(x32) < jnp.float32(_BF16_MAX))
+    return jnp.where(safe, dithered, x32.astype(jnp.bfloat16))
 
 
 class FusedAdam:

@@ -141,6 +141,24 @@ def test_fast_path_fused_frontend_branch(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=3e-2)
 
 
+def test_fast_path_rejects_non_moe_classifier(rng):
+    """A non-MoE --video_level_classifier_model must raise a clean
+    'unsupported config' ValueError, not a KeyError (advisor finding)."""
+    import dataclasses
+    import pytest
+
+    cfg = dataclasses.replace(CFG, video_level_classifier_model="LogisticModel")
+    model = create_model("NetVLADModelLF", cfg)
+    feats_u8 = rng.integers(0, 256, size=(2, 6, 1152), dtype=np.uint8)
+    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        x, num_frames=jnp.asarray([6, 6]), training=True,
+    )
+    with pytest.raises(ValueError, match="MoeModel classifier"):
+        prepare_fast_params(variables, cfg, compute_dtype=jnp.float32)
+
+
 def test_fast_path_return_probs(rng):
     model, variables, feats_u8, nf = _setup(rng)
     fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)

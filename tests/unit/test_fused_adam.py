@@ -125,6 +125,30 @@ def test_stochastic_round_bf16_unbiased_and_exact_preserving():
     )
 
 
+def test_stochastic_round_bf16_nonfinite_and_near_max_guard():
+    """inf must stay inf (not become a NaN bit pattern), nan stays nan, and
+    finite values in/above the top bf16 binade must never dither into the
+    inf encoding (the advisor-flagged carry)."""
+    bf16_max = float(jnp.finfo(jnp.bfloat16).max)
+    x = jnp.asarray(
+        [np.inf, -np.inf, np.nan, bf16_max, -bf16_max,
+         np.float32(3.4e38),          # between bf16_max and f32 max
+         np.nextafter(np.float32(bf16_max), np.float32(0.0))],
+        jnp.float32,
+    )
+    # worst-case dither: all-ones low bits force any possible carry
+    bits = jnp.full(x.shape, 0xFFFF, jnp.uint32)
+    got = np.asarray(fa.stochastic_round_bf16(x, bits), np.float32)
+    assert np.isposinf(got[0])
+    assert np.isneginf(got[1])
+    assert np.isnan(got[2])
+    assert np.isfinite(got[3]) or np.isposinf(got[3])  # deterministic cast
+    assert not np.isnan(got[3]) and not np.isnan(got[4])
+    assert not np.isnan(got[5])
+    # strictly-below-max value may round up to at most bf16_max, never inf/nan
+    assert np.isfinite(got[6]) and got[6] <= bf16_max
+
+
 def test_sr_nu_tracks_ema_where_deterministic_bf16_stalls():
     """THE reason nu can be bf16 only WITH stochastic rounding at
     beta2=0.999: sub-ulp terms of the EMA round away deterministically, so

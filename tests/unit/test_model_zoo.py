@@ -190,3 +190,38 @@ def test_sample_random_frames_onehot_exact_vs_gather():
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(want, np.float32)
         )
+
+
+def test_samplers_agree_when_num_frames_exceeds_padding():
+    """sample_random_frames and sample_frame_features document the SAME
+    index distribution; with identical rng they must pick identical frames,
+    including when num_frames > F (both clamp the count to the padded
+    length before the multiply — the advisor-flagged divergence)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from learnablepoolingmethods_tpu.models import model_utils
+
+    rng = np.random.default_rng(7)
+    feats_u8 = rng.integers(0, 256, size=(4, 10, 16), dtype=np.uint8)
+    # one video exceeds padding (num_frames > F), one equals it, two within
+    nf = jnp.asarray([25, 10, 3, 1], jnp.int32)
+    key = jax.random.key(11)
+    picked_u8 = model_utils.sample_frame_features(
+        jnp.asarray(feats_u8), nf, 6, key
+    )
+    picked_f32 = model_utils.sample_random_frames(
+        jnp.asarray(feats_u8, jnp.float32), nf, 6, key
+    )
+    np.testing.assert_array_equal(
+        np.asarray(picked_u8, np.float32), np.asarray(picked_f32)
+    )
+    # and the num_frames>F video must be uniform over [0, F), not piled on
+    # the last frame: with count clamped to 10 and u<0.9 for some draw,
+    # index < 9 must occur (probability of failure with the old bug: 0 —
+    # every index was min(floor(u*25), 9) = 9 for u >= 0.36).
+    u = jax.random.uniform(key, (4, 6), dtype=jnp.float32)
+    idx = np.minimum((np.asarray(u[0]) * 10).astype(np.int32), 9)
+    got_rows = np.asarray(picked_u8[0], np.float32)
+    want_rows = feats_u8[0, idx].astype(np.float32)
+    np.testing.assert_array_equal(got_rows, want_rows)
