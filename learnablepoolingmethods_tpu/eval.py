@@ -86,13 +86,22 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         from learnablepoolingmethods_tpu.ops import metrics_ops
 
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        # honor --model_parallelism on the fast tree (mirrors inference.py):
+        # shard the folded weights over the model axis and take the
+        # identical-math jnp route (Pallas doesn't compose with GSPMD).
+        model_par = FLAGS.model_parallelism > 1
+        place = (
+            (lambda t: mesh_lib.shard_params(t, mesh)) if model_par
+            else (lambda t: jax.device_put(t, repl))
+        )
+        use_pallas = jax.default_backend() == "tpu" and not model_par
         if FLAGS.model == "DbofModel":
             from learnablepoolingmethods_tpu.ops.fast_dbof import (
                 build_fast_dbof_inference,
                 prepare_fast_dbof_params,
             )
 
-            fp = jax.device_put(prepare_fast_dbof_params(variables, mcfg), repl)
+            fp = place(prepare_fast_dbof_params(variables, mcfg))
             fast_fwd = build_fast_dbof_inference(mcfg, return_probs=True)
         elif FLAGS.model == "NetVLADModelLF":
             from learnablepoolingmethods_tpu.ops.fast_infer import (
@@ -100,10 +109,10 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 prepare_fast_params,
             )
 
-            fp = jax.device_put(prepare_fast_params(variables, mcfg), repl)
+            fp = place(prepare_fast_params(variables, mcfg))
             fast_fwd = build_fast_netvlad_inference(
                 mcfg,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=use_pallas,
                 return_probs=True,
             )
         elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
@@ -112,13 +121,11 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 prepare_fast_lf_params,
             )
 
-            fp = jax.device_put(
-                prepare_fast_lf_params(variables, mcfg, FLAGS.model), repl
-            )
+            fp = place(prepare_fast_lf_params(variables, mcfg, FLAGS.model))
             fast_fwd = build_fast_lf_inference(
                 mcfg,
                 FLAGS.model,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=use_pallas,
                 return_probs=True,
             )
         else:

@@ -89,13 +89,30 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
 
     if FLAGS.fast_infer:
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
+        # honor --model_parallelism on the fast tree too: a model sharded
+        # because it outgrows one chip must not be silently replicated here.
+        # shard_params replicates everything when the model axis is 1; the
+        # Pallas kernels don't compose with GSPMD partitioning, so the
+        # sharded configuration takes the identical-math jnp route.
+        model_par = FLAGS.model_parallelism > 1
+        place = (
+            (lambda t: mesh_lib.shard_params(t, mesh)) if model_par
+            else (lambda t: jax.device_put(t, repl))
+        )
+        use_pallas = jax.default_backend() == "tpu" and not model_par
+        if model_par:
+            logging.info(
+                "--fast_infer with --model_parallelism=%d: fast params "
+                "sharded over the model axis; Pallas kernels disabled "
+                "(jnp path, identical math)", FLAGS.model_parallelism,
+            )
         if FLAGS.model == "DbofModel":
             from learnablepoolingmethods_tpu.ops.fast_dbof import (
                 build_fast_dbof_inference,
                 prepare_fast_dbof_params,
             )
 
-            fp = jax.device_put(prepare_fast_dbof_params(variables, mcfg), repl)
+            fp = place(prepare_fast_dbof_params(variables, mcfg))
             fast = build_fast_dbof_inference(mcfg, top_k=top_k)
         elif FLAGS.model == "NetVLADModelLF":
             from learnablepoolingmethods_tpu.ops.fast_infer import (
@@ -103,12 +120,12 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 prepare_fast_params,
             )
 
-            fp = jax.device_put(prepare_fast_params(variables, mcfg), repl)
+            fp = place(prepare_fast_params(variables, mcfg))
             fast = build_fast_netvlad_inference(
                 mcfg,
                 top_k=top_k,
                 # Mosaic kernels need real TPU; elsewhere the identical jnp path
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=use_pallas,
             )
         elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
             from learnablepoolingmethods_tpu.ops.fast_lf import (
@@ -116,14 +133,12 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 prepare_fast_lf_params,
             )
 
-            fp = jax.device_put(
-                prepare_fast_lf_params(variables, mcfg, FLAGS.model), repl
-            )
+            fp = place(prepare_fast_lf_params(variables, mcfg, FLAGS.model))
             fast = build_fast_lf_inference(
                 mcfg,
                 FLAGS.model,
                 top_k=top_k,
-                use_pallas=jax.default_backend() == "tpu",
+                use_pallas=use_pallas,
             )
         else:
             raise ValueError(

@@ -171,6 +171,61 @@ def test_multislice_mesh_train_step_equals_replicated(rng):
     np.testing.assert_allclose(float(m1["loss"]), float(m3["loss"]), rtol=1e-5)
 
 
+def test_fast_infer_params_shard_over_model_axis(rng):
+    """--fast_infer must honor --model_parallelism (round-2 verdict): the
+    folded fast-param tree shards over the model axis via the same
+    shard_params rule, and the jnp fast forward under GSPMD must equal the
+    replicated run exactly (XLA inserts the collectives; math unchanged)."""
+    from learnablepoolingmethods_tpu.ops.fast_infer import (
+        build_fast_netvlad_inference,
+        prepare_fast_params,
+    )
+
+    # full 1152-wide input so both modalities (NetVLAD_0/_1) exist
+    fcfg = ModelConfig(
+        vocab_size=20, iterations=6, netvlad_cluster_size=8,
+        netvlad_hidden_size=16, moe_num_mixtures=2,
+    )
+    model = create_model("NetVLADModelLF", fcfg)
+    feats_u8 = rng.integers(0, 256, size=(8, 6, 1152), dtype=np.uint8)
+    nf = np.full((8,), 6, np.int32)
+    x = step_lib.preprocess_input(np.asarray(feats_u8))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        x, num_frames=np.asarray(nf), training=True,
+    )
+    fp_host = prepare_fast_params(variables, fcfg, compute_dtype=np.float32)
+    fast = build_fast_netvlad_inference(
+        fcfg, top_k=5, use_pallas=False, compute_dtype=np.float32
+    )
+    key = jax.random.key(2)
+
+    mesh1 = mesh_lib.create_mesh()
+    fp1 = jax.device_put(fp_host, mesh_lib.replicated_sharding(mesh1))
+    v1, i1 = jax.jit(fast, static_argnames=("presampled",))(
+        fp1,
+        jax.device_put(feats_u8, mesh_lib.batch_sharding(mesh1)),
+        jax.device_put(nf, mesh_lib.batch_sharding(mesh1)),
+        key,
+    )
+
+    mesh2 = mesh_lib.create_mesh(model_parallelism=2)
+    fp2 = mesh_lib.shard_params(fp_host, mesh2, min_size=MIN_SIZE)
+    n_sharded = sum(
+        any(s == mesh_lib.MODEL_AXIS for s in p.sharding.spec)
+        for p in jax.tree.leaves(fp2)
+    )
+    assert n_sharded >= 1, "no fast param landed on the model axis (vacuous)"
+    v2, i2 = jax.jit(fast, static_argnames=("presampled",))(
+        fp2,
+        jax.device_put(feats_u8, mesh_lib.batch_sharding(mesh2)),
+        jax.device_put(nf, mesh_lib.batch_sharding(mesh2)),
+        key,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
 def test_fused_adam_runs_sharded_and_matches_replicated():
     """--fused_adam on a 4x2 model-sharded mesh: the pure-XLA SR update
     shards with the params (GSPMD partitions the elementwise chain and the
