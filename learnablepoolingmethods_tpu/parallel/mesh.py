@@ -119,6 +119,33 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def put_batch_global(batch: dict, mesh: Mesh) -> dict:
+    """Place a PER-PROCESS batch shard onto the global mesh.
+
+    Single-process this is a plain batch-sharded device_put.  Multi-process
+    (``distributed_init`` with process_count > 1, shard_by_process input
+    sharding) each process passes only ITS shard and the global batch is the
+    concatenation along the batch axis
+    (``jax.make_array_from_process_local_data``) — a bare device_put would
+    instead treat every process's shard as the whole global array, silently
+    discarding (P−1)/P of the data each process loaded.  Every process must
+    supply the same local batch size (pad the final partial batch).
+    """
+    sharding = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
+    out = {}
+    for k, v in batch.items():
+        if not (isinstance(v, np.ndarray) or hasattr(v, "shape")):
+            out[k] = v  # e.g. video_id byte strings stay on host
+        elif multiproc:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            )
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out
+
+
 def shard_params(params, mesh: Mesh, min_size: int = 1 << 22):
     """Shard large matrix params' last axis over the model axis; replicate rest.
 

@@ -174,6 +174,11 @@ class Trainer:
             )
 
         repl = mesh_lib.replicated_sharding(mesh)
+        if jax.process_count() > 1:
+            # multi-process: placement onto a global (partly non-addressable)
+            # sharding accepts HOST arrays only — committed jax.Arrays raise
+            # "must represent addressable devices"
+            state = jax.tree.map(np.asarray, state)
         if FLAGS.model_parallelism > 1:
             # shard the large matrices' output axis over the model axis.
             # The optimizer state goes through the SAME rule: its big leaves
@@ -188,7 +193,14 @@ class Trainer:
             )
         else:
             state = jax.device_put(state, repl)
-        rng = jax.device_put(jax.random.key(FLAGS.seed), repl)
+        if jax.process_count() > 1:
+            # key arrays can't be device_put onto a global sharding; create
+            # the (identical) key inside an SPMD computation instead
+            rng = jax.jit(
+                lambda: jax.random.key(FLAGS.seed), out_shardings=repl
+            )()
+        else:
+            rng = jax.device_put(jax.random.key(FLAGS.seed), repl)
 
         train_step = jax.jit(
             step_lib.make_train_step(model, loss_obj, tcfg, mcfg, fcfg.frame_features),
@@ -197,11 +209,9 @@ class Trainer:
 
         def put(batch):
             batch = mesh_lib.pad_batch_to_multiple(batch, n_dev)
-            return {
-                k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
-                for k, v in batch.items()
-                if k != "video_id"
-            }
+            return mesh_lib.put_batch_global(
+                {k: v for k, v in batch.items() if k != "video_id"}, mesh
+            )
 
         writer = observability.MetricWriter(self.train_dir)
         log_every = max(FLAGS.log_every_n_steps, 1)
@@ -222,7 +232,19 @@ class Trainer:
 
             if step_num % log_every == 0:
                 loss_val = float(metrics["loss"])
-                preds = np.asarray(metrics["predictions"])[: labels_for_log.shape[0]]
+                preds_arr = metrics["predictions"]
+                if jax.process_count() > 1:
+                    # the global predictions array is not fully addressable;
+                    # this process's shards are exactly its own input rows
+                    # (put_batch_global concatenation order)
+                    shards = sorted(
+                        preds_arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0,
+                    )
+                    preds_np = np.concatenate([np.asarray(s.data) for s in shards])
+                else:
+                    preds_np = np.asarray(preds_arr)
+                preds = preds_np[: labels_for_log.shape[0]]
                 gap = eval_util.calculate_gap(preds, labels_for_log)
                 hit1 = eval_util.calculate_hit_at_one(preds, labels_for_log)
                 perr = eval_util.calculate_precision_at_equal_recall_rate(
