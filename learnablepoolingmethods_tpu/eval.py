@@ -128,11 +128,23 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 use_pallas=use_pallas,
                 return_probs=True,
             )
+        elif FLAGS.model == "TransformerEncoderModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_transformer_inference,
+                prepare_fast_transformer_params,
+            )
+
+            fp = place(prepare_fast_transformer_params(variables, mcfg))
+            fast_fwd = build_fast_transformer_inference(
+                mcfg,
+                use_pallas=use_pallas,
+                return_probs=True,
+            )
         else:
             raise ValueError(
                 f"--fast_forward supports NetVLADModelLF, DbofModel, "
-                f"NetFVModelLF, NetRVLADModelLF and SoftDbofModelLF, "
-                f"got {FLAGS.model!r}"
+                f"NetFVModelLF, NetRVLADModelLF, SoftDbofModelLF and "
+                f"TransformerEncoderModel, got {FLAGS.model!r}"
             )
 
         def _fast_eval_step(fp, params, batch_stats, batch, rng=None):

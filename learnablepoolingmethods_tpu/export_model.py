@@ -133,6 +133,16 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
 
             fp = _jax.device_put(prepare_fast_dbof_params(variables, mcfg))
             fn = build_fast_dbof_inference(mcfg, top_k=top_k)
+        elif model_name == "TransformerEncoderModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_transformer_inference,
+                prepare_fast_transformer_params,
+            )
+
+            fp = _jax.device_put(prepare_fast_transformer_params(variables, mcfg))
+            fn = build_fast_transformer_inference(
+                mcfg, top_k=top_k, use_pallas=use_pallas
+            )
         else:
             from learnablepoolingmethods_tpu.ops.fast_lf import (
                 FAST_LF_MODELS,

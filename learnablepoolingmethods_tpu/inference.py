@@ -140,11 +140,23 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 top_k=top_k,
                 use_pallas=use_pallas,
             )
+        elif FLAGS.model == "TransformerEncoderModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_transformer_inference,
+                prepare_fast_transformer_params,
+            )
+
+            fp = place(prepare_fast_transformer_params(variables, mcfg))
+            fast = build_fast_transformer_inference(
+                mcfg,
+                top_k=top_k,
+                use_pallas=use_pallas,
+            )
         else:
             raise ValueError(
                 f"--fast_infer supports NetVLADModelLF, DbofModel, "
-                f"NetFVModelLF, NetRVLADModelLF and SoftDbofModelLF, "
-                f"got {FLAGS.model!r}"
+                f"NetFVModelLF, NetRVLADModelLF, SoftDbofModelLF and "
+                f"TransformerEncoderModel, got {FLAGS.model!r}"
             )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
         base_key = jax.random.key(0)
