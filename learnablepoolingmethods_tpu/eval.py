@@ -67,6 +67,12 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
+def _fast_lf_models():
+    from learnablepoolingmethods_tpu.ops.fast_lf import FAST_LF_MODELS
+
+    return FAST_LF_MODELS
+
+
 def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
     mesh = mesh_lib.create_mesh(
         model_parallelism=FLAGS.model_parallelism,
@@ -115,7 +121,7 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 use_pallas=use_pallas,
                 return_probs=True,
             )
-        elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
+        elif FLAGS.model in _fast_lf_models():
             from learnablepoolingmethods_tpu.ops.fast_lf import (
                 build_fast_lf_inference,
                 prepare_fast_lf_params,
@@ -143,8 +149,8 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         else:
             raise ValueError(
                 f"--fast_forward supports NetVLADModelLF, DbofModel, "
-                f"NetFVModelLF, NetRVLADModelLF, SoftDbofModelLF and "
-                f"TransformerEncoderModel, got {FLAGS.model!r}"
+                f"TransformerEncoderModel and the LF family "
+                f"{_fast_lf_models()}, got {FLAGS.model!r}"
             )
 
         def _fast_eval_step(fp, params, batch_stats, batch, rng=None):

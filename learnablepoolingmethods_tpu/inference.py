@@ -53,6 +53,12 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
+def _fast_lf_models():
+    from learnablepoolingmethods_tpu.ops.fast_lf import FAST_LF_MODELS
+
+    return FAST_LF_MODELS
+
+
 def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
     fcfg = lpm_flags.feature_config_from_flags()
     mcfg = lpm_flags.model_config_from_flags()
@@ -127,7 +133,7 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 # Mosaic kernels need real TPU; elsewhere the identical jnp path
                 use_pallas=use_pallas,
             )
-        elif FLAGS.model in ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"):
+        elif FLAGS.model in _fast_lf_models():
             from learnablepoolingmethods_tpu.ops.fast_lf import (
                 build_fast_lf_inference,
                 prepare_fast_lf_params,
@@ -155,8 +161,8 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
         else:
             raise ValueError(
                 f"--fast_infer supports NetVLADModelLF, DbofModel, "
-                f"NetFVModelLF, NetRVLADModelLF, SoftDbofModelLF and "
-                f"TransformerEncoderModel, got {FLAGS.model!r}"
+                f"TransformerEncoderModel and the LF family "
+                f"{_fast_lf_models()}, got {FLAGS.model!r}"
             )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
         base_key = jax.random.key(0)

@@ -46,23 +46,33 @@ from learnablepoolingmethods_tpu.ops.softdbow_pallas import (
 )
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
-FAST_LF_MODELS = ("NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF")
+FAST_LF_MODELS = (
+    "NetFVModelLF",
+    "NetRVLADModelLF",
+    "SoftDbofModelLF",
+    "NeXtVLADModel",
+)
 
 _MODULE_PREFIX = {
     "NetFVModelLF": "NetFV",
     "NetRVLADModelLF": "NetRVLAD",
     "SoftDbofModelLF": "SoftDBoW",
+    "NeXtVLADModel": "NeXtVLAD",
 }
 
 
 def _model_geometry(mcfg: ModelConfig, model_name: str):
-    """(cluster_size_rgb, relu flag, per-descriptor width fn) per model."""
+    """(cluster_size_rgb, relu flag, per-descriptor width fn) per model.
+    NeXtVLAD's width depends on λD/G, which the preparer reads from the
+    actual param shapes — the fn slot is None."""
     if model_name == "NetFVModelLF":
         return mcfg.fv_cluster_size, mcfg.fv_relu, lambda d, k: 2 * d * k
     if model_name == "NetRVLADModelLF":
         return mcfg.rvlad_cluster_size, mcfg.netvlad_relu, lambda d, k: d * k
     if model_name == "SoftDbofModelLF":
         return mcfg.dbow_cluster_size, mcfg.netvlad_relu, lambda d, k: k
+    if model_name == "NeXtVLADModel":
+        return mcfg.nextvlad_cluster_size, mcfg.netvlad_relu, None
     raise ValueError(f"unsupported fast-LF model {model_name!r}")
 
 
@@ -100,6 +110,29 @@ def prepare_fast_lf_params(
             break
         mp = p[name]
         scale, bias = _fold_bn(mp["cluster_bn"], s[name]["cluster_bn"])
+        if model_name == "NeXtVLADModel":
+            # geometry read from the param shapes (groups may have been
+            # divisor-adjusted at model build time — frame_level.py)
+            we = mp["expansion_weights"]            # [D, λD]
+            k_mod, dp = mp["cluster_weights2"].shape  # [K, λD/G]
+            vscale, vbias = _fold_bn(mp["vlad_bn"], s[name]["vlad_bn"])
+            w = k_mod * dp
+            entry = {
+                # "cluster" keeps the [D, …] leaf every branch uses for the
+                # modality split width (forward reads .shape[0])
+                "cluster": we.astype(ct),
+                "scale": scale,
+                "bias": bias,
+                "wg": mp["group_attention_weights"].astype(ct),
+                "wa": mp["cluster_weights"].astype(ct),  # [λD, G·K]
+                "c2": mp["cluster_weights2"].astype(jnp.float32),
+                "vscale": vscale,
+                "vbias": vbias,
+                "w1": hidden_w[offset : offset + w].astype(ct),
+            }
+            offset += w
+            mods.append(entry)
+            continue
         d, k = mp["cluster_weights"].shape
         entry = {
             "cluster": mp["cluster_weights"].astype(ct),
@@ -172,6 +205,42 @@ def build_fast_lf_inference(
 
     def _pooled_contrib(x_mod, entry):
         b = x_mod.shape[0]
+        if model_name == "NeXtVLADModel":
+            # modules.py#NeXtVLAD with folded cluster/vlad BNs — every op is
+            # an MXU einsum; XLA fuses the sigmoid/softmax epilogues
+            k_mod, dp = entry["c2"].shape
+            xt = jnp.einsum(
+                "bfd,de->bfe", x_mod.astype(ct), entry["cluster"],
+                preferred_element_type=jnp.float32,
+            ).astype(ct)  # [B, S, λD]
+            g = entry["wg"].shape[1]
+            alpha = jax.nn.sigmoid(
+                jnp.einsum(
+                    "bfe,eg->bfg", xt, entry["wg"],
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            logits = (
+                jnp.einsum(
+                    "bfe,ec->bfc", xt, entry["wa"],
+                    preferred_element_type=jnp.float32,
+                )
+                * entry["scale"]
+                + entry["bias"]
+            ).reshape(b, -1, g, k_mod)
+            assign = jax.nn.softmax(logits, axis=-1) * alpha[..., None]
+            xg = xt.reshape(b, -1, g, dp)
+            agg = jnp.einsum(
+                "bfgk,bfgd->bkd", assign.astype(ct), xg,
+                preferred_element_type=jnp.float32,
+            )
+            a_sum = jnp.sum(assign, axis=(1, 2))  # [B, K]
+            vlad = agg - a_sum[:, :, None] * entry["c2"][None]
+            vlad = l2_normalize(vlad, axis=-1).reshape(b, k_mod * dp)
+            vlad = (vlad * entry["vscale"] + entry["vbias"]).astype(ct)
+            return jnp.matmul(
+                vlad, entry["w1"], preferred_element_type=jnp.float32
+            )
         if model_name == "NetFVModelLF":
             fv_fn = netfv_fused if use_pallas else netfv_reference
             kw = {"interpret": pallas_interpret} if use_pallas else {}

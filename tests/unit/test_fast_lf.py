@@ -25,6 +25,7 @@ def _setup(model_name, **cfg_kw):
         fv_cluster_size=8,
         rvlad_cluster_size=8,
         dbow_cluster_size=16,
+        nextvlad_cluster_size=8,
         compute_dtype="float32",
         presampled=True,  # both paths consume presampled frames → comparable
         **cfg_kw,
@@ -47,7 +48,8 @@ def _setup(model_name, **cfg_kw):
 
 
 @pytest.mark.parametrize(
-    "model_name", ["NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF"]
+    "model_name",
+    ["NetFVModelLF", "NetRVLADModelLF", "SoftDbofModelLF", "NeXtVLADModel"],
 )
 def test_fast_lf_matches_model_apply(model_name):
     cfg, model, params, batch_stats, batch, rng = _setup(model_name)
