@@ -228,3 +228,50 @@ def test_fast_serve_netvlad(tmp_path):
         assert len(row["classes"]) == 3 and len(row["scores"]) == 3
         assert all(0 <= c < 12 for c in row["classes"])
         assert sorted(row["scores"], reverse=True) == row["scores"]
+
+
+@pytest.mark.parametrize(
+    "model_name,cfg_kw",
+    [
+        (
+            "TransformerEncoderModel",
+            dict(attention_hidden_size=16, attention_heads=2,
+                 transformer_layers=1, transformer_ff_size=24),
+        ),
+        ("NeXtVLADModel", dict(nextvlad_cluster_size=8, nextvlad_hidden_size=16,
+                               iterations=6)),
+    ],
+)
+def test_try_fast_predict_covers_new_models(model_name, cfg_kw):
+    """export_model._try_fast_predict must select the round-3 fast builders
+    (transformer / NeXtVLAD) and their predictions must match the flax
+    forward's top-k within fp-tolerance."""
+    from learnablepoolingmethods_tpu import export_model as em
+
+    mcfg = ModelConfig(vocab_size=12, presampled=False, **cfg_kw)
+    model = create_model(model_name, mcfg)
+    rng = np.random.default_rng(0)
+    feats = rng.integers(0, 256, size=(2, 6, 1152), dtype=np.uint8)
+    nf = np.array([6, 3], np.int32)
+    params, bs = step_lib.init_model_variables(
+        model, {"features": feats, "num_frames": nf}, True
+    )
+    fast = em._try_fast_predict(
+        model_name, mcfg, {"params": params, "batch_stats": bs}, 3
+    )
+    assert fast is not None, f"fast builder not selected for {model_name}"
+    key = jax.random.key(0)
+    vals, idxs = fast(jax.numpy.asarray(feats), jax.numpy.asarray(nf), key)
+    assert vals.shape == (2, 3) and idxs.shape == (2, 3)
+    v = np.asarray(vals)
+    assert np.all(np.diff(v, axis=1) <= 1e-7)  # sorted scores
+    assert np.all((v >= 0) & (v <= 1))
+    if model_name == "TransformerEncoderModel":
+        # no sampling in this model → directly comparable to the flax top-k
+        x = step_lib.preprocess_input(jax.numpy.asarray(feats))
+        probs = model.apply(
+            {"params": params, "batch_stats": bs}, x,
+            num_frames=jax.numpy.asarray(nf), training=False,
+        )["predictions"]
+        want = np.sort(np.asarray(probs), axis=1)[:, ::-1][:, :3]
+        np.testing.assert_allclose(v, want, atol=3e-2)  # bf16 fast path
