@@ -71,3 +71,13 @@ def main():
 
 
 main()
+
+# int8 experiment (round 3, REMOVED after measurement): dynamic per-row
+# activation x per-channel weight int8 on the five big matmuls measured
+# 25.34 ms @ B=256 vs 21.89 bf16 — a NET LOSS.  Root cause (tools/
+# prof_peak.py): the raw int8 [76800,1024]x[1024,3072]->int32 matmul runs at
+# only 92 TOPS (1.2x bf16, not 2x) because the shape is HBM-bound and the
+# 4-byte int32 accumulator output doubles the write traffic; the dynamic
+# amax+quantize passes add ~3 reads of [B,F,D] on top.  Static-scale
+# quantization would remove the passes but not the int32-output wall —
+# config 5 stays ~12k videos/s on this chip in any precision.
