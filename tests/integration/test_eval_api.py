@@ -157,3 +157,49 @@ def test_fast_forward_dbof(eval_setup, tmp_path):
     finally:
         for k, v in saved.items():
             setattr(FLAGS, k, v)
+
+
+def test_fast_forward_transformer(eval_setup, tmp_path):
+    """--fast_forward dispatches TransformerEncoderModel through
+    ops/fast_transformer.py; since the model samples nothing, the fused
+    forward's epoch metrics must also match the DEFAULT flax path, not just
+    the device-partials variant of itself."""
+    from learnablepoolingmethods_tpu import flags as lpm_flags
+
+    keys = ("model", "train_dir", "attention_hidden_size", "attention_heads",
+            "transformer_layers", "transformer_ff_size")
+    saved = {k: getattr(FLAGS, k) for k in keys}
+    FLAGS.model = "TransformerEncoderModel"
+    FLAGS.train_dir = str(tmp_path / "td_tf")
+    FLAGS.attention_hidden_size = 8
+    FLAGS.attention_heads = 2
+    FLAGS.transformer_layers = 1
+    FLAGS.transformer_ff_size = 12
+    try:
+        mcfg = lpm_flags.model_config_from_flags()
+        model = create_model("TransformerEncoderModel", mcfg)
+        rng = np.random.default_rng(2)
+        batch = {
+            "features": rng.integers(
+                0, 256, size=(2, MAXF, D_RGB + D_AUDIO), dtype=np.uint8
+            ),
+            "num_frames": np.array([MAXF, 4], np.int32),
+        }
+        params, bs = step_lib.init_model_variables(model, batch, frame_features=True)
+        mngr = ckpt_lib.CheckpointManager(FLAGS.train_dir)
+        mngr.save(1, {"params": params, "batch_stats": bs})
+        mngr.close()
+
+        info_flax = _run_eval(fast_forward=False, fast_eval=False)
+        info_fast = _run_eval(fast_forward=True, fast_eval=False)
+        info_dev = _run_eval(fast_forward=True, fast_eval=True)
+        for k in ("avg_hit_at_one", "avg_perr", "gap"):
+            np.testing.assert_allclose(
+                info_fast[k], info_flax[k], atol=1e-3, err_msg=k  # bf16 path
+            )
+            np.testing.assert_allclose(
+                info_fast[k], info_dev[k], atol=1e-5, err_msg=k
+            )
+    finally:
+        for k, v in saved.items():
+            setattr(FLAGS, k, v)
