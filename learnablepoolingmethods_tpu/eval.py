@@ -74,6 +74,17 @@ def _fast_lf_models():
 
 
 def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
+    if jax.process_count() > 1:
+        # eval is single-controller by design (the reference's eval.py is a
+        # single machine); its host-side metric accumulation and plain
+        # device_put batch placement are not multi-process-aware — running
+        # it under jax.distributed would silently drop data (the train
+        # path's put_batch_global fix does not apply to the host-side
+        # accumulator).  Fail loudly instead.
+        raise RuntimeError(
+            "eval runs single-process; launch it outside jax.distributed "
+            f"(process_count={jax.process_count()})"
+        )
     mesh = mesh_lib.create_mesh(
         model_parallelism=FLAGS.model_parallelism,
         dcn_parallelism=FLAGS.dcn_parallelism,

@@ -60,6 +60,13 @@ def _fast_lf_models():
 
 
 def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
+    if jax.process_count() > 1:
+        # single-controller by design (mirrors eval.py): the CSV writer and
+        # plain device_put batch placement are not multi-process-aware
+        raise RuntimeError(
+            "inference runs single-process; launch it outside "
+            f"jax.distributed (process_count={jax.process_count()})"
+        )
     fcfg = lpm_flags.feature_config_from_flags()
     mcfg = lpm_flags.model_config_from_flags()
     model = create_model(FLAGS.model, mcfg)
