@@ -81,3 +81,10 @@ main()
 # amax+quantize passes add ~3 reads of [B,F,D] on top.  Static-scale
 # quantization would remove the passes but not the int32-output wall —
 # config 5 stays ~12k videos/s on this chip in any precision.
+# out-proj+residual+LN1 in-kernel fusion (round 3, REMOVED after
+# measurement): folding the [D,D] out-matmul, residual, and LN1 into the
+# attention kernel measured 23.7 ms vs ~22 ms for the simpler composition —
+# neutral-to-negative within the ±1.5 ms session jitter band.  The expected
+# ~2 ms HBM saving is eaten by the in-kernel out-matmul serializing with the
+# attention dots and the per-step wo/ln block traffic; XLA's out+LN fusions
+# already overlap with the kernel's DMA.  Keep the simple composition.
