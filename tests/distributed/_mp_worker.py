@@ -68,6 +68,7 @@ def run_steps(model, mcfg, tcfg, mesh, batches, put_fn):
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
     data_pattern, cache_dir, out_dir = sys.argv[3], sys.argv[4], sys.argv[5]
+    source = sys.argv[6] if len(sys.argv) > 6 else "packed"
 
     import jax
 
@@ -85,27 +86,54 @@ def main():
     import flax.serialization
     import numpy as np
 
-    from learnablepoolingmethods_tpu.data import packed_cache
-
-    # the flags.py#input_iterator multi-process protocol: 0 builds, 1 waits
-    if pid == 0:
-        cache = packed_cache.build_cache(
-            data_pattern, cache_dir, frame_level=True,
-            feature_sizes=(RGB, AUD), feature_names=("rgb", "audio"),
-            num_classes=V, max_frames=MAXF, num_workers=1,
+    if source == "grain":
+        # grain's ShardByJaxProcess path (flags.py#input_iterator
+        # shard_by_process=True under --use_grain)
+        from learnablepoolingmethods_tpu.data.grain_pipeline import (
+            grain_batch_iterator,
         )
-    else:
-        cache = packed_cache.wait_for_cache(cache_dir, data_pattern, timeout_s=300)
 
-    it = packed_cache.packed_batch_iterator(
-        cache, LOCAL_BATCH, num_epochs=STEPS, shuffle=False,
-        shard_index=jax.process_index(), num_shards=jax.process_count(),
-    )
-    batches = []
-    for b in it:
-        batches.append({k: v for k, v in b.items() if k != "video_id"})
-        if len(batches) == STEPS:
-            break
+        batches, ids = [], []
+        for b in grain_batch_iterator(
+            data_pattern, LOCAL_BATCH, frame_level=True, num_epochs=1,
+            shuffle=False, shard_by_process=True,
+            feature_sizes=(RGB, AUD), feature_names=("rgb", "audio"),
+            num_classes=V, max_frames=MAXF,
+        ):
+            ids.extend(
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in b["video_id"]
+            )
+            batches.append({k: v for k, v in b.items() if k != "video_id"})
+        with open(os.path.join(out_dir, f"ids_{pid}.txt"), "w") as f:
+            f.write("\n".join(ids))
+        # execution coverage: run the sharded steps on this source too
+        batches = batches[:STEPS] * ((STEPS // max(len(batches), 1)) + 1)
+        batches = batches[:STEPS]
+    else:
+        from learnablepoolingmethods_tpu.data import packed_cache
+
+        # the flags.py#input_iterator multi-process protocol: 0 builds, 1 waits
+        if pid == 0:
+            cache = packed_cache.build_cache(
+                data_pattern, cache_dir, frame_level=True,
+                feature_sizes=(RGB, AUD), feature_names=("rgb", "audio"),
+                num_classes=V, max_frames=MAXF, num_workers=1,
+            )
+        else:
+            cache = packed_cache.wait_for_cache(
+                cache_dir, data_pattern, timeout_s=300
+            )
+
+        it = packed_cache.packed_batch_iterator(
+            cache, LOCAL_BATCH, num_epochs=STEPS, shuffle=False,
+            shard_index=jax.process_index(), num_shards=jax.process_count(),
+        )
+        batches = []
+        for b in it:
+            batches.append({k: v for k, v in b.items() if k != "video_id"})
+            if len(batches) == STEPS:
+                break
     assert len(batches) == STEPS
 
     model, mcfg, tcfg = model_setup()

@@ -178,6 +178,52 @@ def test_two_process_train_equals_single_process_replay(mp_run):
         )
 
 
+def test_two_process_grain_sharding(tmp_path):
+    """grain's ShardByJaxProcess leg (the --use_grain shard_by_process path):
+    under a real 2-process cluster the per-process record streams must be a
+    DISJOINT partition of the dataset, and the sharded train steps must stay
+    in sync (identical losses)."""
+    data = os.path.join(str(tmp_path), "train0.tfrecord")
+    write_frame_level_fixture(
+        data, N_VIDEOS, num_classes=W.V, rgb_size=W.RGB, audio_size=W.AUD,
+        max_frames=W.MAXF, seed=11,
+    )
+    out_dir = os.path.join(str(tmp_path), "out")
+    os.makedirs(out_dir)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=4"])
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(port), data, "-", out_dir,
+             "grain"],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-4000:]}"
+
+    ids = []
+    for pid in (0, 1):
+        with open(os.path.join(out_dir, f"ids_{pid}.txt")) as f:
+            ids.append({l for l in f.read().splitlines() if l})
+    assert not (ids[0] & ids[1]), "process shards overlap"
+    assert len(ids[0] | ids[1]) == N_VIDEOS, "processes did not cover the set"
+    l0 = np.load(os.path.join(out_dir, "losses_0.npy"))
+    l1 = np.load(os.path.join(out_dir, "losses_1.npy"))
+    np.testing.assert_array_equal(l0, l1)
+
+
 def test_wait_for_cache_on_nonzero_process(mp_run):
     """Worker 1 must have gone through wait_for_cache: the cache meta
     records exactly one build, and its fingerprint matches the data."""
