@@ -157,11 +157,23 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 use_pallas=use_pallas,
                 return_probs=True,
             )
+        elif FLAGS.model == "AttentionNetVLADModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_attn_netvlad_inference,
+                prepare_fast_attn_netvlad_params,
+            )
+
+            fp = place(prepare_fast_attn_netvlad_params(variables, mcfg))
+            fast_fwd = build_fast_attn_netvlad_inference(
+                mcfg,
+                use_pallas=use_pallas,
+                return_probs=True,
+            )
         else:
             raise ValueError(
                 f"--fast_forward supports NetVLADModelLF, DbofModel, "
-                f"TransformerEncoderModel and the LF family "
-                f"{_fast_lf_models()}, got {FLAGS.model!r}"
+                f"TransformerEncoderModel, AttentionNetVLADModel and the LF "
+                f"family {_fast_lf_models()}, got {FLAGS.model!r}"
             )
 
         def _fast_eval_step(fp, params, batch_stats, batch, rng=None):

@@ -143,6 +143,16 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
             fn = build_fast_transformer_inference(
                 mcfg, top_k=top_k, use_pallas=use_pallas
             )
+        elif model_name == "AttentionNetVLADModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_attn_netvlad_inference,
+                prepare_fast_attn_netvlad_params,
+            )
+
+            fp = _jax.device_put(prepare_fast_attn_netvlad_params(variables, mcfg))
+            fn = build_fast_attn_netvlad_inference(
+                mcfg, top_k=top_k, use_pallas=use_pallas
+            )
         else:
             from learnablepoolingmethods_tpu.ops.fast_lf import (
                 FAST_LF_MODELS,

@@ -165,11 +165,23 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 top_k=top_k,
                 use_pallas=use_pallas,
             )
+        elif FLAGS.model == "AttentionNetVLADModel":
+            from learnablepoolingmethods_tpu.ops.fast_transformer import (
+                build_fast_attn_netvlad_inference,
+                prepare_fast_attn_netvlad_params,
+            )
+
+            fp = place(prepare_fast_attn_netvlad_params(variables, mcfg))
+            fast = build_fast_attn_netvlad_inference(
+                mcfg,
+                top_k=top_k,
+                use_pallas=use_pallas,
+            )
         else:
             raise ValueError(
                 f"--fast_infer supports NetVLADModelLF, DbofModel, "
-                f"TransformerEncoderModel and the LF family "
-                f"{_fast_lf_models()}, got {FLAGS.model!r}"
+                f"TransformerEncoderModel, AttentionNetVLADModel and the LF "
+                f"family {_fast_lf_models()}, got {FLAGS.model!r}"
             )
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
         base_key = jax.random.key(0)

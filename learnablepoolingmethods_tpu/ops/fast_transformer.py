@@ -126,26 +126,11 @@ def attention_reference(q, k, v, mask, num_heads: int):
     return out.reshape(b, f, dm).astype(q.dtype)
 
 
-def prepare_fast_transformer_params(
-    variables: Dict[str, Any],
-    mcfg: ModelConfig,
-    compute_dtype=jnp.bfloat16,
-) -> Dict[str, Any]:
-    """Fold/cast once on host → flat param tree (weights stay ARGUMENTS)."""
-    if not mcfg.gating:
-        raise ValueError("fast transformer path supports the gated tail only")
-    if not mcfg.netvlad_add_batch_norm:
-        raise ValueError(
-            "fast transformer path supports the default tail (BN on)"
-        )
-    p = variables["params"]
-    s = variables["batch_stats"]
-    _require_moe_head(p, mcfg)
-    ct = compute_dtype
-
+def _prepare_encoder_layers(enc, n_layers: int, ct):
+    """Encoder-layer weights → flat per-layer dicts (fused QKV kernel,
+    LN affines f32, FFN kernels in compute dtype)."""
     layers = []
-    enc = p["encoder"]
-    for i in range(mcfg.transformer_layers):
+    for i in range(n_layers):
         lp = enc[f"layer_{i}"]
         mha = lp["mha"]
         d_model = mha["query"]["kernel"].shape[0]
@@ -175,6 +160,74 @@ def prepare_fast_transformer_params(
                 "b2": lp["ff2"]["bias"].astype(jnp.float32),
             }
         )
+    return layers
+
+
+def _encoder_apply(layers, h, mask, heads, use_pallas, pallas_interpret, ct):
+    """The shared fast encoder stack (fused QKV → attention kernel →
+    out-proj → residual+LN → FFN → residual+LN), bf16-materialized."""
+    for lp in layers:
+        qkv = (
+            jnp.matmul(h, lp["wqkv"], preferred_element_type=jnp.float32)
+            + lp["bqkv"]
+        ).astype(ct)
+        d_model = h.shape[-1]
+        if use_pallas:
+            attn = masked_attention_fused(
+                qkv, mask, heads, interpret=pallas_interpret
+            )
+        else:
+            attn = attention_reference(
+                qkv[..., :d_model],
+                qkv[..., d_model : 2 * d_model],
+                qkv[..., 2 * d_model :],
+                mask,
+                heads,
+            )
+        # cast matmul outputs in their epilogues so every materialized
+        # [B, F, D] tensor stays bf16 — the residual+LN fusions read bf16
+        # and compute their statistics in f32
+        attn = (
+            jnp.matmul(attn, lp["wo"], preferred_element_type=jnp.float32)
+            + lp["bo"]
+        ).astype(ct)
+        h = _layernorm(
+            h.astype(jnp.float32) + attn.astype(jnp.float32),
+            lp["ln1_s"], lp["ln1_b"],
+        ).astype(ct)
+        ff = jax.nn.relu(
+            jnp.matmul(h, lp["w1"], preferred_element_type=jnp.float32)
+            + lp["b1"]
+        ).astype(ct)
+        ff = (
+            jnp.matmul(ff, lp["w2"], preferred_element_type=jnp.float32)
+            + lp["b2"]
+        ).astype(ct)
+        h = _layernorm(
+            h.astype(jnp.float32) + ff.astype(jnp.float32),
+            lp["ln2_s"], lp["ln2_b"],
+        ).astype(ct)
+    return h
+
+
+def prepare_fast_transformer_params(
+    variables: Dict[str, Any],
+    mcfg: ModelConfig,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Fold/cast once on host → flat param tree (weights stay ARGUMENTS)."""
+    if not mcfg.gating:
+        raise ValueError("fast transformer path supports the gated tail only")
+    if not mcfg.netvlad_add_batch_norm:
+        raise ValueError(
+            "fast transformer path supports the default tail (BN on)"
+        )
+    p = variables["params"]
+    s = variables["batch_stats"]
+    _require_moe_head(p, mcfg)
+    ct = compute_dtype
+
+    layers = _prepare_encoder_layers(p["encoder"], mcfg.transformer_layers, ct)
 
     g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
     moe = p["MoeModel_0"]
@@ -233,47 +286,9 @@ def build_fast_transformer_inference(
             + fp["b_proj"]
         ).astype(ct)
 
-        for lp in fp["layers"]:
-            qkv = (
-                jnp.matmul(h, lp["wqkv"], preferred_element_type=jnp.float32)
-                + lp["bqkv"]
-            ).astype(ct)
-            d_model = h.shape[-1]
-            if use_pallas:
-                attn = masked_attention_fused(
-                    qkv, mask, heads, interpret=pallas_interpret
-                )
-            else:
-                attn = attention_reference(
-                    qkv[..., :d_model],
-                    qkv[..., d_model : 2 * d_model],
-                    qkv[..., 2 * d_model :],
-                    mask,
-                    heads,
-                )
-            # cast matmul outputs in their epilogues so every materialized
-            # [B, F, D] tensor stays bf16 — the residual+LN fusions read
-            # bf16 and compute their statistics in f32
-            attn = (
-                jnp.matmul(attn, lp["wo"], preferred_element_type=jnp.float32)
-                + lp["bo"]
-            ).astype(ct)
-            h = _layernorm(
-                h.astype(jnp.float32) + attn.astype(jnp.float32),
-                lp["ln1_s"], lp["ln1_b"],
-            ).astype(ct)
-            ff = jax.nn.relu(
-                jnp.matmul(h, lp["w1"], preferred_element_type=jnp.float32)
-                + lp["b1"]
-            ).astype(ct)
-            ff = (
-                jnp.matmul(ff, lp["w2"], preferred_element_type=jnp.float32)
-                + lp["b2"]
-            ).astype(ct)
-            h = _layernorm(
-                h.astype(jnp.float32) + ff.astype(jnp.float32),
-                lp["ln2_s"], lp["ln2_b"],
-            ).astype(ct)
+        h = _encoder_apply(
+            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct
+        )
 
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
         pooled = jnp.sum(h.astype(jnp.float32) * mask[:, :, None], axis=1) / denom
@@ -281,6 +296,115 @@ def build_fast_transformer_inference(
         h2 = (
             jnp.matmul(
                 pooled.astype(ct), fp["hidden_w"],
+                preferred_element_type=jnp.float32,
+            )
+            + fp["hidden_b"]
+        )
+        return gated_moe_tail(fp, h2, m, v, ct, top_k, return_probs)
+
+    return forward
+
+
+def prepare_fast_attn_netvlad_params(
+    variables: Dict[str, Any],
+    mcfg: ModelConfig,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """AttentionNetVLADModel (encoder → NetVLAD → gated tail): encoder
+    layers like the transformer path + the vlad module's folded
+    assignment-BN constants (attention.py#AttentionNetVLADModel)."""
+    if not mcfg.gating:
+        raise ValueError("fast path supports the gated tail only")
+    if not mcfg.netvlad_add_batch_norm or mcfg.netvlad_relu:
+        raise ValueError(
+            "fast attn-NetVLAD path supports the default config "
+            "(BN on, relu off)"
+        )
+    p = variables["params"]
+    s = variables["batch_stats"]
+    _require_moe_head(p, mcfg)
+    ct = compute_dtype
+
+    vp, vs = p["vlad"], s["vlad"]
+    scale, bias = _fold_bn(vp["cluster_bn"], vs["cluster_bn"])
+    g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
+    moe = p["MoeModel_0"]
+    return {
+        "w_proj": p["input_proj"]["kernel"].astype(ct),
+        "b_proj": p["input_proj"]["bias"].astype(jnp.float32),
+        "layers": _prepare_encoder_layers(
+            p["encoder"], mcfg.transformer_layers, ct
+        ),
+        "cluster": vp["cluster_weights"].astype(ct),
+        "c_scale": scale,
+        "c_bias": bias,
+        "c2": vp["cluster_weights2"].astype(jnp.float32).reshape(
+            vp["cluster_weights"].shape
+        ),
+        "hidden_w": p["hidden1_weights"].astype(ct),
+        "hidden_b": p["hidden1_biases"].astype(jnp.float32),
+        "gate_w": p["gating"]["gating_weights"].astype(ct),
+        "g_scale": g_scale,
+        "g_bias": g_bias,
+        "gates_kernel": moe["gates_kernel"].astype(ct),
+        "experts_kernel": moe["experts_kernel"].astype(ct),
+        "experts_bias": moe["experts_bias"].astype(jnp.float32),
+    }
+
+
+def build_fast_attn_netvlad_inference(
+    mcfg: ModelConfig,
+    top_k: int = 20,
+    use_pallas: bool = True,
+    pallas_interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    return_probs: bool = False,
+):
+    """AttentionNetVLADModel fast forward: the shared fast encoder stack,
+    pad rows zeroed, then the fused NetVLAD kernel
+    (ops/netvlad_pallas.py) and the gated-MoE tail."""
+    from learnablepoolingmethods_tpu.ops.netvlad_pallas import (
+        netvlad_fused,
+        netvlad_reference,
+    )
+
+    m = mcfg.moe_num_mixtures
+    v = mcfg.vocab_size
+    heads = mcfg.attention_heads
+    ct = compute_dtype
+
+    def forward(fp, features, num_frames, rng=None, presampled: bool = False):
+        b, f = features.shape[0], features.shape[1]
+        x = (
+            dequantize(features, dtype=ct)
+            if features.dtype == jnp.uint8
+            else features.astype(ct)
+        )
+        x = l2_normalize(x, axis=-1)
+        mask = (
+            jnp.arange(f)[None, :] < jnp.asarray(num_frames).reshape(-1, 1)
+        ).astype(jnp.float32)
+
+        h = (
+            jnp.matmul(x.astype(ct), fp["w_proj"], preferred_element_type=jnp.float32)
+            + fp["b_proj"]
+        ).astype(ct)
+        h = _encoder_apply(
+            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct
+        )
+        # zero pads before clustering so they don't pollute assignments
+        # (attention.py#AttentionNetVLADModel)
+        h = h * mask[:, :, None].astype(h.dtype)
+
+        vlad_fn = netvlad_fused if use_pallas else netvlad_reference
+        kw = {"interpret": pallas_interpret} if use_pallas else {}
+        vlad = vlad_fn(
+            h, fp["cluster"], fp["c_scale"], fp["c_bias"], fp["c2"], **kw
+        ).reshape(b, -1)
+
+        h2 = (
+            jnp.matmul(
+                vlad.astype(ct), fp["hidden_w"],
                 preferred_element_type=jnp.float32,
             )
             + fp["hidden_b"]

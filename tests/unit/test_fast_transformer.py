@@ -129,6 +129,45 @@ def test_attention_reference_matches_flax_mha(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_fast_attn_netvlad_matches_model_fp32(rng):
+    """AttentionNetVLADModel fast path (shared fast encoder + fused NetVLAD
+    kernel, interpret mode) ≡ model.apply at fp32."""
+    from learnablepoolingmethods_tpu.ops.fast_transformer import (
+        build_fast_attn_netvlad_inference,
+        prepare_fast_attn_netvlad_params,
+    )
+
+    cfg = dataclasses.replace(CFG, netvlad_cluster_size=4, netvlad_hidden_size=16)
+    model = create_model("AttentionNetVLADModel", cfg)
+    feats_u8 = rng.integers(0, 256, size=(B, F, DIN), dtype=np.uint8)
+    nf = np.array([F, 4, 1], np.int32)
+    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        x, num_frames=jnp.asarray(nf), training=True,
+    )
+    bs = jax.tree.map(
+        lambda a: a + 0.07 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape) / a.size,
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": bs}
+    want = model.apply(
+        variables, x, num_frames=jnp.asarray(nf), training=False
+    )["predictions"]
+
+    fp = prepare_fast_attn_netvlad_params(variables, cfg, compute_dtype=jnp.float32)
+    for use_pallas in (False, True):
+        fast = build_fast_attn_netvlad_inference(
+            cfg, use_pallas=use_pallas, pallas_interpret=True,
+            compute_dtype=jnp.float32, return_probs=True,
+        )
+        got = fast(fp, jnp.asarray(feats_u8), jnp.asarray(nf))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4,
+            err_msg=f"use_pallas={use_pallas}",
+        )
+
+
 def test_fast_transformer_rejects_non_moe_head(rng):
     cfg = dataclasses.replace(CFG, video_level_classifier_model="LogisticModel")
     model = create_model("TransformerEncoderModel", cfg)
