@@ -44,7 +44,12 @@ def _sync_floor(jax, jnp, reps=5):
     return best
 
 
-def bench(batch: int = 512, iters: int = 32, use_pallas: bool = True):
+def bench(
+    batch: int = 512,
+    iters: int = 32,
+    use_pallas: bool = True,
+    int8_hidden: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +73,11 @@ def bench(batch: int = 512, iters: int = 32, use_pallas: bool = True):
         model, init_batch, frame_features=True
     )
     fp = jax.device_put(
-        prepare_fast_params({"params": params, "batch_stats": batch_stats}, cfg)
+        prepare_fast_params(
+            {"params": params, "batch_stats": batch_stats},
+            cfg,
+            int8_hidden=int8_hidden,
+        )
     )
     predict = jax.jit(build_fast_netvlad_inference(cfg, top_k=20, use_pallas=use_pallas))
 

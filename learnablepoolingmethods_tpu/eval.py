@@ -47,6 +47,13 @@ def define_flags():
         "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
         "model — NetVLAD/NetFV/NetRVLAD/SoftDbof LF models and DbofModel.",
     )
+    flags.DEFINE_bool(
+        "int8_hidden",
+        False,
+        "With --fast_forward on NetVLADModelLF: int8 weight-only hidden FC "
+        "(ops/int8_matmul.py); lets eval measure the exact numerics the "
+        "--int8_hidden serving path runs.",
+    )
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
     )
@@ -99,6 +106,12 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
+    if FLAGS.int8_hidden and (
+        not FLAGS.fast_forward or FLAGS.model != "NetVLADModelLF"
+    ):
+        raise ValueError(
+            "--int8_hidden requires --fast_forward with --model=NetVLADModelLF"
+        )
     if FLAGS.fast_forward:
         from learnablepoolingmethods_tpu.ops import metrics_ops
 
@@ -126,7 +139,16 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
                 prepare_fast_params,
             )
 
-            fp = place(prepare_fast_params(variables, mcfg))
+            if FLAGS.int8_hidden and model_par:
+                raise ValueError(
+                    "--int8_hidden with --model_parallelism > 1 is not "
+                    "supported (see inference.py)"
+                )
+            fp = place(
+                prepare_fast_params(
+                    variables, mcfg, int8_hidden=FLAGS.int8_hidden
+                )
+            )
             fast_fwd = build_fast_netvlad_inference(
                 mcfg,
                 use_pallas=use_pallas,

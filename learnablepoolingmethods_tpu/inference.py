@@ -36,6 +36,14 @@ def define_flags():
         "Use the fused inference path (BN folding, Pallas NetVLAD, bf16); "
         "NetVLADModelLF and DbofModel.",
     )
+    flags.DEFINE_bool(
+        "int8_hidden",
+        False,
+        "With --fast_infer on NetVLADModelLF: store the giant hidden FC "
+        "weight int8 (per-column scales, convert fused into the dot by XLA "
+        "— ops/int8_matmul.py); ~1.8x on the HBM-bound FC stage, +14% e2e "
+        "at B=256; measured GAP impact inside the 1e-3 budget (BASELINE.md).",
+    )
     flags.DEFINE_string(
         "reference_checkpoint",
         "",
@@ -100,6 +108,12 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
         params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
+    if FLAGS.int8_hidden and (
+        not FLAGS.fast_infer or FLAGS.model != "NetVLADModelLF"
+    ):
+        raise ValueError(
+            "--int8_hidden requires --fast_infer with --model=NetVLADModelLF"
+        )
     if FLAGS.fast_infer:
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
         # honor --model_parallelism on the fast tree too: a model sharded
@@ -133,7 +147,17 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 prepare_fast_params,
             )
 
-            fp = place(prepare_fast_params(variables, mcfg))
+            if FLAGS.int8_hidden and model_par:
+                raise ValueError(
+                    "--int8_hidden with --model_parallelism > 1 is not "
+                    "supported (int8 targets single-chip HBM; a sharded "
+                    "model already halves per-chip weight traffic)"
+                )
+            fp = place(
+                prepare_fast_params(
+                    variables, mcfg, int8_hidden=FLAGS.int8_hidden
+                )
+            )
             fast = build_fast_netvlad_inference(
                 mcfg,
                 top_k=top_k,

@@ -92,8 +92,15 @@ def prepare_fast_params(
     variables: Dict[str, Any],
     mcfg: ModelConfig,
     compute_dtype=jnp.bfloat16,
+    int8_hidden: bool = False,
 ) -> Dict[str, Any]:
-    """Fold BNs and cast weights once, on host → a flat param pytree."""
+    """Fold BNs and cast weights once, on host → a flat param pytree.
+
+    ``int8_hidden``: store the giant hidden FC weight int8 (per-column
+    scales; XLA fuses the s8→bf16 convert into the dot's operand stream,
+    ops/int8_matmul.py) — the FC is HBM-bound at B≤256, so halving its
+    weight bytes buys ~1.8× on that stage (+14% end-to-end); the measured
+    GAP impact is within the 1e-3 north-star budget (BASELINE.md)."""
     if not mcfg.netvlad_add_batch_norm or mcfg.netvlad_relu or not mcfg.gating:
         raise ValueError(
             "fast path supports the Willow config (BN on, relu off, gating on)"
@@ -130,13 +137,30 @@ def prepare_fast_params(
     hidden_w = p["hidden1_weights"]
     _require_moe_head(p, mcfg)
     moe = p["MoeModel_0"]
+    if int8_hidden:
+        from learnablepoolingmethods_tpu.ops.int8_matmul import (
+            quantize_weight_int8,
+        )
+
+        rgb_q, rgb_s = quantize_weight_int8(hidden_w[: d_rgb * k_rgb])
+        aud_q, aud_s = quantize_weight_int8(hidden_w[d_rgb * k_rgb :])
+        hidden = {
+            "w_rgb_q": jnp.asarray(rgb_q),
+            "w_rgb_s": jnp.asarray(rgb_s),
+            "w_aud_q": jnp.asarray(aud_q),
+            "w_aud_s": jnp.asarray(aud_s),
+        }
+    else:
+        hidden = {
+            "w_rgb": hidden_w[: d_rgb * k_rgb].astype(ct),
+            "w_aud": hidden_w[d_rgb * k_rgb :].astype(ct),
+        }
     return {
         "in_scale": in_scale,
         "in_bias": in_bias,
         "rgb": rgb,
         "aud": aud,
-        "w_rgb": hidden_w[: d_rgb * k_rgb].astype(ct),
-        "w_aud": hidden_w[d_rgb * k_rgb :].astype(ct),
+        **hidden,
         "hidden_b": p["hidden1_biases"].astype(jnp.float32),
         "gate_w": p["gating"]["gating_weights"].astype(ct),
         "g_scale": g_scale,
@@ -231,11 +255,20 @@ def build_fast_netvlad_inference(
         return _tail(fp, vlad_rgb, vlad_aud, b)
 
     def _tail(fp, vlad_rgb, vlad_aud, b):
-        h = (
-            jnp.matmul(vlad_rgb, fp["w_rgb"], preferred_element_type=jnp.float32)
-            + jnp.matmul(vlad_aud, fp["w_aud"], preferred_element_type=jnp.float32)
-            + fp["hidden_b"]
-        )
+        if "w_rgb_q" in fp:
+            from learnablepoolingmethods_tpu.ops.int8_matmul import matmul_wi8
+
+            h = (
+                matmul_wi8(vlad_rgb, fp["w_rgb_q"], fp["w_rgb_s"])
+                + matmul_wi8(vlad_aud, fp["w_aud_q"], fp["w_aud_s"])
+                + fp["hidden_b"]
+            )
+        else:
+            h = (
+                jnp.matmul(vlad_rgb, fp["w_rgb"], preferred_element_type=jnp.float32)
+                + jnp.matmul(vlad_aud, fp["w_aud"], preferred_element_type=jnp.float32)
+                + fp["hidden_b"]
+            )
         return gated_moe_tail(fp, h, m, v, ct, top_k, return_probs)
 
     return forward

@@ -203,3 +203,18 @@ def test_fast_forward_transformer(eval_setup, tmp_path):
     finally:
         for k, v in saved.items():
             setattr(FLAGS, k, v)
+
+
+def test_fast_forward_int8_hidden(eval_setup):
+    """--int8_hidden (weight-only int8 hidden FC): runs the same fused
+    forward with the quantized FC; epoch metrics stay within the
+    quantization envelope of the bf16 fast path, and the flag is rejected
+    without --fast_forward / on other models."""
+    info_bf16 = _run_eval(fast_forward=True, fast_eval=False)
+    info_i8 = _run_eval(fast_forward=True, fast_eval=False, int8_hidden=True)
+    for k in ("avg_hit_at_one", "avg_perr", "gap"):
+        assert np.isfinite(info_i8[k]), k
+        np.testing.assert_allclose(info_i8[k], info_bf16[k], atol=2e-2, err_msg=k)
+
+    with pytest.raises(ValueError, match="int8_hidden requires"):
+        _run_eval(fast_forward=False, int8_hidden=True)

@@ -173,3 +173,35 @@ def test_fast_path_return_probs(rng):
     vals, idxs = f_topk(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key, presampled=True)
     got = np.take_along_axis(np.asarray(probs), np.asarray(idxs), axis=1)
     np.testing.assert_allclose(got, np.asarray(vals), atol=1e-6)
+
+
+def test_fast_path_int8_hidden(rng):
+    """int8_hidden fast path: pallas-kernel route ≡ jnp-twin route exactly,
+    and both stay near the flax probs (quantization-error envelope only;
+    the ranking-metric accuracy gate lives in test_int8_matmul.py)."""
+    model, variables, feats_u8, nf = _setup(rng)
+    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
+    want = model.apply(
+        variables, x, num_frames=jnp.asarray(nf), training=False
+    )["predictions"]
+
+    fp = prepare_fast_params(
+        variables, CFG, compute_dtype=jnp.float32, int8_hidden=True
+    )
+    assert "w_rgb_q" in fp and "w_rgb" not in fp
+    assert fp["w_rgb_q"].dtype == jnp.int8
+    fast_k = build_fast_netvlad_inference(
+        CFG, use_pallas=True, pallas_interpret=True, compute_dtype=jnp.float32
+    )
+    fast_j = build_fast_netvlad_inference(
+        CFG, use_pallas=False, compute_dtype=jnp.float32
+    )
+    key = jax.random.key(0)
+    v1, i1 = fast_k(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key, presampled=True)
+    v2, i2 = fast_j(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key, presampled=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+    got = np.zeros((2, 20), np.float32)
+    got[np.arange(2)[:, None], np.asarray(i1)] = np.asarray(v1)
+    np.testing.assert_allclose(got, np.asarray(want), atol=5e-2)
