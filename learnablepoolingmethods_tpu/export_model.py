@@ -102,7 +102,8 @@ def _configs_from_meta(meta: dict) -> Tuple[ModelConfig, FeatureConfig]:
     return ModelConfig(**mc), FeatureConfig(**fc)
 
 
-def _try_fast_predict(model_name, mcfg, variables, top_k: int):
+def _try_fast_predict(model_name, mcfg, variables, top_k: int,
+                      int8_hidden: bool = False):
     """Build the BN-folded fast forward when one exists for this model and
     config; returns fn(features, num_frames, rng) → (values, indices), or
     None.  Weights are jit ARGUMENTS held on the host side of the closure
@@ -121,7 +122,9 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
                 prepare_fast_params,
             )
 
-            fp = _jax.device_put(prepare_fast_params(variables, mcfg))
+            fp = _jax.device_put(
+                prepare_fast_params(variables, mcfg, int8_hidden=int8_hidden)
+            )
             fn = build_fast_netvlad_inference(
                 mcfg, top_k=top_k, use_pallas=use_pallas
             )
@@ -175,7 +178,8 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int):
     return lambda feats, nfs, rng: jitted(fp, feats, nfs, rng)
 
 
-def load_exported_model(export_dir: str, prefer_fast: bool = False):
+def load_exported_model(export_dir: str, prefer_fast: bool = False,
+                        int8_hidden: bool = False):
     """Rebuild (model, params, batch_stats, mcfg, fcfg, serve_fn).
 
     ``prefer_fast``: serve through the BN-folded fused forward when the
@@ -183,7 +187,14 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False):
     1.4–5× the flax throughput; silently falls back when unsupported.
     Off by default because the fast path draws its frame-sampling
     randomness differently than the flax module (same distribution,
-    different stream), so sampled-model outputs are not bit-comparable."""
+    different stream), so sampled-model outputs are not bit-comparable.
+
+    ``int8_hidden``: weight-only int8 hidden FC on the NetVLADModelLF fast
+    path (ops/int8_matmul.py) — the low-batch serving regime is exactly
+    where the FC is HBM-bound and int8 pays (+14% e2e at B=256, more at
+    serving batch sizes; |ΔGAP| ≤ 1e-3).  Unlike unsupported-config
+    fallback this is an explicit request, so it RAISES when the model
+    can't honor it rather than silently serving bf16."""
     with open(os.path.join(export_dir, _CONFIG_FILE)) as f:
         meta = json.load(f)
     mcfg, fcfg = _configs_from_meta(meta)
@@ -210,12 +221,27 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False):
             model, mcfg, fcfg.frame_features, top_k=meta["top_k"]
         )
     )
+    if int8_hidden and (
+        not prefer_fast
+        or meta["model"] != "NetVLADModelLF"
+        or not fcfg.frame_features
+    ):
+        raise ValueError(
+            "int8_hidden requires the fast path (prefer_fast/--fast_serve) "
+            "on a frame-level NetVLADModelLF export"
+        )
     fast_predict = None
     if prefer_fast and fcfg.frame_features:
         fast_predict = _try_fast_predict(
             meta["model"], mcfg,
             {"params": params, "batch_stats": batch_stats}, meta["top_k"],
+            int8_hidden=int8_hidden,
         )
+        if int8_hidden and fast_predict is None:
+            raise ValueError(
+                "int8_hidden requested but this export's config has no "
+                "fast path (non-Willow NetVLAD config)"
+            )
 
     from learnablepoolingmethods_tpu.data import tfrecord_io
     from learnablepoolingmethods_tpu.data.readers import resize_axis

@@ -62,6 +62,14 @@ def define_flags():
         "forward otherwise. Frame sampling uses a different (equally "
         "distributed) random stream than the flax path.",
     )
+    flags.DEFINE_bool(
+        "int8_hidden",
+        False,
+        "With --fast_serve on a NetVLADModelLF export: weight-only int8 "
+        "hidden FC (ops/int8_matmul.py). Serving batches are small enough "
+        "that the FC is HBM-bound — the regime where int8 pays most; "
+        "|ΔGAP| ≤ 1e-3 (BASELINE.md).",
+    )
 
 
 def frame_records(records: List[bytes]) -> bytes:
@@ -83,12 +91,12 @@ def unframe_records(body: bytes) -> List[bytes]:
 
 class ModelServer:
     def __init__(self, export_dir: str, serving_batch_size: int = 32,
-                 fast_serve: bool = False):
+                 fast_serve: bool = False, int8_hidden: bool = False):
         from learnablepoolingmethods_tpu.export_model import load_exported_model
 
         (self.model, self.params, self.batch_stats,
          self.mcfg, self.fcfg, self._serve) = load_exported_model(
-            export_dir, prefer_fast=fast_serve
+            export_dir, prefer_fast=fast_serve, int8_hidden=int8_hidden
         )
         self.batch_size = serving_batch_size
 
@@ -260,6 +268,7 @@ def serve_forever(
     single_thread: bool = False,
     batch_linger_ms: float = 2.0,
     fast_serve: bool = False,
+    int8_hidden: bool = False,
 ):
     """Default mode: ThreadingHTTPServer accepts concurrent requests, the
     BatchingQueue coalesces them, and the dispatch loop runs on THIS (main)
@@ -267,7 +276,8 @@ def serve_forever(
     requires (CLAUDE.md).  ``single_thread`` restores the round-1 behavior:
     one request at a time, no queue."""
     model_server = ModelServer(export_dir, serving_batch_size,
-                               fast_serve=fast_serve)
+                               fast_serve=fast_serve,
+                               int8_hidden=int8_hidden)
     logging.info("warming up compiled forward ...")
     model_server.warmup()
     if single_thread:
@@ -305,6 +315,7 @@ def main(unused_argv):
         single_thread=FLAGS.single_thread,
         batch_linger_ms=FLAGS.batch_linger_ms,
         fast_serve=FLAGS.fast_serve,
+        int8_hidden=FLAGS.int8_hidden,
     )
 
 

@@ -230,6 +230,64 @@ def test_fast_serve_netvlad(tmp_path):
         assert sorted(row["scores"], reverse=True) == row["scores"]
 
 
+def test_fast_serve_int8_hidden(tmp_path):
+    """--int8_hidden serving: same export served bf16-fast vs int8-fast
+    agrees within the quantization envelope; the flag raises (rather than
+    silently serving bf16) without --fast_serve or on a non-NetVLAD
+    export."""
+    from learnablepoolingmethods_tpu import export_model as em
+
+    mcfg = ModelConfig(
+        vocab_size=12, netvlad_cluster_size=4, netvlad_hidden_size=8,
+        iterations=6, presampled=False,
+    )
+    fcfg = FeatureConfig(("rgb", "audio"), (1024, 128), frame_features=True,
+                         max_frames=6)
+    model = create_model("NetVLADModelLF", mcfg)
+    example = {
+        "features": np.zeros((1, 6, 1152), np.uint8),
+        "num_frames": np.ones((1,), np.int32),
+    }
+    params, bs = step_lib.init_model_variables(model, example, True)
+    export_dir = str(tmp_path / "export")
+    export_model(export_dir, "NetVLADModelLF", mcfg, fcfg, params, bs, top_k=3)
+
+    rng = np.random.default_rng(0)
+    rec = fixtures.encode_frame_sequence_example(
+        b"v0", [1],
+        rng.integers(0, 256, size=(6, 1024), dtype=np.uint8),
+        rng.integers(0, 256, size=(6, 128), dtype=np.uint8),
+        feature_names=("rgb", "audio"),
+    )
+    out_bf16 = serving.ModelServer(export_dir, 2, fast_serve=True).predict(
+        [rec, rec]
+    )
+    out_i8 = serving.ModelServer(
+        export_dir, 2, fast_serve=True, int8_hidden=True
+    ).predict([rec, rec])
+    for row8, row16 in zip(out_i8, out_bf16):
+        assert len(row8["classes"]) == 3
+        s8 = dict(zip(row8["classes"], row8["scores"]))
+        s16 = dict(zip(row16["classes"], row16["scores"]))
+        shared = set(s8) & set(s16)
+        assert shared  # tiny random model: top-3 sets overlap
+        for c in shared:
+            assert abs(s8[c] - s16[c]) < 5e-2
+
+    with pytest.raises(ValueError, match="int8_hidden requires"):
+        serving.ModelServer(export_dir, 2, fast_serve=False, int8_hidden=True)
+
+    # non-NetVLAD export refuses too
+    mcfg_d = ModelConfig(vocab_size=12, dbof_cluster_size=8,
+                         dbof_hidden_size=8, iterations=6)
+    model_d = create_model("DbofModel", mcfg_d)
+    params_d, bs_d = step_lib.init_model_variables(model_d, example, True)
+    export_d = str(tmp_path / "export_dbof")
+    export_model(export_d, "DbofModel", mcfg_d, fcfg, params_d, bs_d, top_k=3)
+    with pytest.raises(ValueError, match="int8_hidden requires"):
+        em.load_exported_model(export_d, prefer_fast=True, int8_hidden=True)
+
+
 @pytest.mark.parametrize(
     "model_name,cfg_kw",
     [
