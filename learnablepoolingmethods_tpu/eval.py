@@ -47,13 +47,16 @@ def define_flags():
         "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
         "model — NetVLAD/NetFV/NetRVLAD/SoftDbof LF models and DbofModel.",
     )
-    flags.DEFINE_bool(
-        "int8_hidden",
-        False,
-        "With --fast_forward on NetVLADModelLF: int8 weight-only hidden FC "
-        "(ops/int8_matmul.py); lets eval measure the exact numerics the "
-        "--int8_hidden serving path runs.",
-    )
+    # serving.py defines this flag too (its namespace is otherwise
+    # disjoint, and the modules can be co-imported) — define-once
+    if "int8_hidden" not in flags.FLAGS:
+        flags.DEFINE_bool(
+            "int8_hidden",
+            False,
+            "With --fast_forward on NetVLADModelLF: int8 weight-only hidden "
+            "FC (ops/int8_matmul.py); lets eval measure the exact numerics "
+            "the --int8_hidden serving path runs.",
+        )
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
     )

@@ -292,3 +292,29 @@ def test_fused_adam_runs_sharded_and_matches_replicated():
     assert np.isfinite(sr_loss)
     for leaf in jax.tree.leaves(sr_state.params):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
+
+
+def test_assemble_local_predictions_dedups_model_replicas():
+    """train.py's log-path shard assembly: on a (data, model) mesh a
+    P('data')-sharded [B, V] array exposes each row block once PER
+    model-axis device — a plain concatenation of addressable_shards
+    duplicates rows (the bug this helper fixed).  The helper must return
+    each row exactly once, in order, and also stitch a vocab-axis
+    sharding along columns."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from learnablepoolingmethods_tpu.train import assemble_local_predictions
+
+    mesh = mesh_lib.create_mesh(model_parallelism=2)  # (data=4, model=2)
+    x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+
+    rows_only = jax.device_put(x, NamedSharding(mesh, P("data")))
+    # precondition: the naive concatenation really would duplicate rows
+    assert len(rows_only.addressable_shards) == 8  # 4 row blocks × 2 replicas
+    np.testing.assert_array_equal(assemble_local_predictions(rows_only), x)
+
+    both_axes = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    np.testing.assert_array_equal(assemble_local_predictions(both_axes), x)
+
+    replicated = jax.device_put(x, NamedSharding(mesh, P()))
+    np.testing.assert_array_equal(assemble_local_predictions(replicated), x)
