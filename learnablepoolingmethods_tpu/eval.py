@@ -77,12 +77,6 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
-def _fast_lf_models():
-    from learnablepoolingmethods_tpu.ops.fast_lf import FAST_LF_MODELS
-
-    return FAST_LF_MODELS
-
-
 def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
     if jax.process_count() > 1:
         # eval is single-controller by design (the reference's eval.py is a
@@ -128,78 +122,26 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
             else (lambda t: jax.device_put(t, repl))
         )
         use_pallas = jax.default_backend() == "tpu" and not model_par
-        if FLAGS.model == "DbofModel":
-            from learnablepoolingmethods_tpu.ops.fast_dbof import (
-                build_fast_dbof_inference,
-                prepare_fast_dbof_params,
-            )
+        from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+            fast_path_models,
+            get_fast_path,
+        )
 
-            fp = place(prepare_fast_dbof_params(variables, mcfg))
-            fast_fwd = build_fast_dbof_inference(mcfg, return_probs=True)
-        elif FLAGS.model == "NetVLADModelLF":
-            from learnablepoolingmethods_tpu.ops.fast_infer import (
-                build_fast_netvlad_inference,
-                prepare_fast_params,
-            )
-
-            if FLAGS.int8_hidden and model_par:
-                raise ValueError(
-                    "--int8_hidden with --model_parallelism > 1 is not "
-                    "supported (see inference.py)"
-                )
-            fp = place(
-                prepare_fast_params(
-                    variables, mcfg, int8_hidden=FLAGS.int8_hidden
-                )
-            )
-            fast_fwd = build_fast_netvlad_inference(
-                mcfg,
-                use_pallas=use_pallas,
-                return_probs=True,
-            )
-        elif FLAGS.model in _fast_lf_models():
-            from learnablepoolingmethods_tpu.ops.fast_lf import (
-                build_fast_lf_inference,
-                prepare_fast_lf_params,
-            )
-
-            fp = place(prepare_fast_lf_params(variables, mcfg, FLAGS.model))
-            fast_fwd = build_fast_lf_inference(
-                mcfg,
-                FLAGS.model,
-                use_pallas=use_pallas,
-                return_probs=True,
-            )
-        elif FLAGS.model == "TransformerEncoderModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_transformer_inference,
-                prepare_fast_transformer_params,
-            )
-
-            fp = place(prepare_fast_transformer_params(variables, mcfg))
-            fast_fwd = build_fast_transformer_inference(
-                mcfg,
-                use_pallas=use_pallas,
-                return_probs=True,
-            )
-        elif FLAGS.model == "AttentionNetVLADModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_attn_netvlad_inference,
-                prepare_fast_attn_netvlad_params,
-            )
-
-            fp = place(prepare_fast_attn_netvlad_params(variables, mcfg))
-            fast_fwd = build_fast_attn_netvlad_inference(
-                mcfg,
-                use_pallas=use_pallas,
-                return_probs=True,
-            )
-        else:
+        path = get_fast_path(FLAGS.model)
+        if path is None:
             raise ValueError(
-                f"--fast_forward supports NetVLADModelLF, DbofModel, "
-                f"TransformerEncoderModel, AttentionNetVLADModel and the LF "
-                f"family {_fast_lf_models()}, got {FLAGS.model!r}"
+                f"--fast_forward supports {fast_path_models()}, "
+                f"got {FLAGS.model!r}"
             )
+        if FLAGS.int8_hidden and model_par:
+            raise ValueError(
+                "--int8_hidden with --model_parallelism > 1 is not "
+                "supported (see inference.py)"
+            )
+        fp = place(
+            path.prepare(variables, mcfg, int8_hidden=FLAGS.int8_hidden)
+        )
+        fast_fwd = path.build(mcfg, use_pallas=use_pallas, return_probs=True)
 
         def _fast_eval_step(fp, params, batch_stats, batch, rng=None):
             # fp is an ARGUMENT, never a closure constant: closed-over

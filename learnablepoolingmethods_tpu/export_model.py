@@ -115,60 +115,16 @@ def _try_fast_predict(model_name, mcfg, variables, top_k: int,
         # forwards would re-subsample it — keep the flax path
         return None
     use_pallas = _jax.default_backend() == "tpu"
+    from learnablepoolingmethods_tpu.ops.fast_dispatch import get_fast_path
+
+    path = get_fast_path(model_name)
+    if path is None:
+        return None
     try:
-        if model_name == "NetVLADModelLF":
-            from learnablepoolingmethods_tpu.ops.fast_infer import (
-                build_fast_netvlad_inference,
-                prepare_fast_params,
-            )
-
-            fp = _jax.device_put(
-                prepare_fast_params(variables, mcfg, int8_hidden=int8_hidden)
-            )
-            fn = build_fast_netvlad_inference(
-                mcfg, top_k=top_k, use_pallas=use_pallas
-            )
-        elif model_name == "DbofModel":
-            from learnablepoolingmethods_tpu.ops.fast_dbof import (
-                build_fast_dbof_inference,
-                prepare_fast_dbof_params,
-            )
-
-            fp = _jax.device_put(prepare_fast_dbof_params(variables, mcfg))
-            fn = build_fast_dbof_inference(mcfg, top_k=top_k)
-        elif model_name == "TransformerEncoderModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_transformer_inference,
-                prepare_fast_transformer_params,
-            )
-
-            fp = _jax.device_put(prepare_fast_transformer_params(variables, mcfg))
-            fn = build_fast_transformer_inference(
-                mcfg, top_k=top_k, use_pallas=use_pallas
-            )
-        elif model_name == "AttentionNetVLADModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_attn_netvlad_inference,
-                prepare_fast_attn_netvlad_params,
-            )
-
-            fp = _jax.device_put(prepare_fast_attn_netvlad_params(variables, mcfg))
-            fn = build_fast_attn_netvlad_inference(
-                mcfg, top_k=top_k, use_pallas=use_pallas
-            )
-        else:
-            from learnablepoolingmethods_tpu.ops.fast_lf import (
-                FAST_LF_MODELS,
-                build_fast_lf_inference,
-                prepare_fast_lf_params,
-            )
-
-            if model_name not in FAST_LF_MODELS:
-                return None
-            fp = _jax.device_put(prepare_fast_lf_params(variables, mcfg, model_name))
-            fn = build_fast_lf_inference(
-                mcfg, model_name, top_k=top_k, use_pallas=use_pallas
-            )
+        fp = _jax.device_put(
+            path.prepare(variables, mcfg, int8_hidden=int8_hidden)
+        )
+        fn = path.build(mcfg, top_k=top_k, use_pallas=use_pallas)
     except (ValueError, KeyError):
         # non-default config the fast path doesn't cover (KeyError: a params
         # tree the preparer's layout assumptions don't match, e.g. a custom

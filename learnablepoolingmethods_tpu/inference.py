@@ -65,12 +65,6 @@ def define_flags():
     lpm_flags.define_training_flags()
 
 
-def _fast_lf_models():
-    from learnablepoolingmethods_tpu.ops.fast_lf import FAST_LF_MODELS
-
-    return FAST_LF_MODELS
-
-
 def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
     if jax.process_count() > 1:
         # single-controller by design (mirrors eval.py): the CSV writer and
@@ -137,80 +131,28 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
                 "sharded over the model axis; Pallas kernels disabled "
                 "(jnp path, identical math)", FLAGS.model_parallelism,
             )
-        if FLAGS.model == "DbofModel":
-            from learnablepoolingmethods_tpu.ops.fast_dbof import (
-                build_fast_dbof_inference,
-                prepare_fast_dbof_params,
-            )
+        from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+            fast_path_models,
+            get_fast_path,
+        )
 
-            fp = place(prepare_fast_dbof_params(variables, mcfg))
-            fast = build_fast_dbof_inference(mcfg, top_k=top_k)
-        elif FLAGS.model == "NetVLADModelLF":
-            from learnablepoolingmethods_tpu.ops.fast_infer import (
-                build_fast_netvlad_inference,
-                prepare_fast_params,
-            )
-
-            if FLAGS.int8_hidden and model_par:
-                raise ValueError(
-                    "--int8_hidden with --model_parallelism > 1 is not "
-                    "supported (int8 targets single-chip HBM; a sharded "
-                    "model already halves per-chip weight traffic)"
-                )
-            fp = place(
-                prepare_fast_params(
-                    variables, mcfg, int8_hidden=FLAGS.int8_hidden
-                )
-            )
-            fast = build_fast_netvlad_inference(
-                mcfg,
-                top_k=top_k,
-                # Mosaic kernels need real TPU; elsewhere the identical jnp path
-                use_pallas=use_pallas,
-            )
-        elif FLAGS.model in _fast_lf_models():
-            from learnablepoolingmethods_tpu.ops.fast_lf import (
-                build_fast_lf_inference,
-                prepare_fast_lf_params,
-            )
-
-            fp = place(prepare_fast_lf_params(variables, mcfg, FLAGS.model))
-            fast = build_fast_lf_inference(
-                mcfg,
-                FLAGS.model,
-                top_k=top_k,
-                use_pallas=use_pallas,
-            )
-        elif FLAGS.model == "TransformerEncoderModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_transformer_inference,
-                prepare_fast_transformer_params,
-            )
-
-            fp = place(prepare_fast_transformer_params(variables, mcfg))
-            fast = build_fast_transformer_inference(
-                mcfg,
-                top_k=top_k,
-                use_pallas=use_pallas,
-            )
-        elif FLAGS.model == "AttentionNetVLADModel":
-            from learnablepoolingmethods_tpu.ops.fast_transformer import (
-                build_fast_attn_netvlad_inference,
-                prepare_fast_attn_netvlad_params,
-            )
-
-            fp = place(prepare_fast_attn_netvlad_params(variables, mcfg))
-            fast = build_fast_attn_netvlad_inference(
-                mcfg,
-                top_k=top_k,
-                use_pallas=use_pallas,
-            )
-        else:
+        path = get_fast_path(FLAGS.model)
+        if path is None:
             raise ValueError(
-                f"--fast_infer supports NetVLADModelLF, DbofModel, "
-                f"TransformerEncoderModel, AttentionNetVLADModel and the LF "
-                f"family {_fast_lf_models()}, got {FLAGS.model!r}"
+                f"--fast_infer supports {fast_path_models()}, "
+                f"got {FLAGS.model!r}"
             )
+        if FLAGS.int8_hidden and model_par:
+            raise ValueError(
+                "--int8_hidden with --model_parallelism > 1 is not "
+                "supported (int8 targets single-chip HBM; a sharded "
+                "model already halves per-chip weight traffic)"
+            )
+        fp = place(
+            path.prepare(variables, mcfg, int8_hidden=FLAGS.int8_hidden)
+        )
+        # Mosaic kernels need real TPU; elsewhere the identical jnp path
+        fast = path.build(mcfg, top_k=top_k, use_pallas=use_pallas)
         fast_jit = jax.jit(fast, static_argnames=("presampled",))
         base_key = jax.random.key(0)
 

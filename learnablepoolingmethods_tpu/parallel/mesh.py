@@ -171,6 +171,26 @@ def shard_params(params, mesh: Mesh, min_size: int = 1 << 22):
     return jax.tree.map(lambda p: jax.device_put(p, rule(p)), params)
 
 
+def assemble_local_rows(arr) -> np.ndarray:
+    """This process's rows of a (possibly sharded) 2-D array, as numpy.
+
+    With a model axis in the mesh every data-axis row block is REPLICATED
+    across it, so a device-order concatenation of ``addressable_shards``
+    would repeat each block once per model-axis device (and a
+    column-axis sharding would concatenate column blocks along the row
+    axis).  Deduplicate by the shard's index ranges and stitch the unique
+    blocks back in (row, column) order instead.  Used by train.py's
+    metrics logging under multi-process + model parallelism."""
+    uniq = {}
+    for s in arr.addressable_shards:
+        key = tuple(sl.start or 0 for sl in s.index)
+        if key not in uniq:
+            uniq[key] = np.asarray(s.data)
+    row_starts = sorted({k[0] for k in uniq})
+    col_starts = sorted({k[1] for k in uniq})
+    return np.block([[uniq[(r, c)] for c in col_starts] for r in row_starts])
+
+
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
     """Zero-pad the batch axis to a device-count multiple, extending the
     ``weights`` mask so padded rows are ignored downstream."""

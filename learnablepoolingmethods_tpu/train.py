@@ -38,25 +38,6 @@ from learnablepoolingmethods_tpu.parallel import mesh as mesh_lib
 FLAGS = flags.FLAGS
 
 
-def assemble_local_predictions(preds_arr) -> np.ndarray:
-    """This process's rows of a (possibly sharded) [B, V] predictions array.
-
-    Under ``--model_parallelism > 1`` every data-axis row block is
-    REPLICATED across the model axis, so a device-order concatenation of
-    ``addressable_shards`` would repeat each block once per model-axis
-    device (and a vocab-axis sharding would concatenate column blocks
-    along the row axis).  Deduplicate by the shard's index ranges and
-    stitch the unique blocks back in (row, column) order instead."""
-    uniq = {}
-    for s in preds_arr.addressable_shards:
-        key = tuple(sl.start or 0 for sl in s.index)
-        if key not in uniq:
-            uniq[key] = np.asarray(s.data)
-    row_starts = sorted({k[0] for k in uniq})
-    col_starts = sorted({k[1] for k in uniq})
-    return np.block([[uniq[(r, c)] for c in col_starts] for r in row_starts])
-
-
 def define_flags():
     flags.DEFINE_string(
         "train_data_pattern", "", "File glob for the training TFRecords."
@@ -257,7 +238,7 @@ class Trainer:
                     # this process's shards are exactly its own input rows
                     # (put_batch_global concatenation order), each
                     # replicated across any model axis
-                    preds_np = assemble_local_predictions(preds_arr)
+                    preds_np = mesh_lib.assemble_local_rows(preds_arr)
                 else:
                     preds_np = np.asarray(preds_arr)
                 preds = preds_np[: labels_for_log.shape[0]]

@@ -303,18 +303,16 @@ def test_assemble_local_predictions_dedups_model_replicas():
     sharding along columns."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from learnablepoolingmethods_tpu.train import assemble_local_predictions
-
     mesh = mesh_lib.create_mesh(model_parallelism=2)  # (data=4, model=2)
     x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
 
     rows_only = jax.device_put(x, NamedSharding(mesh, P("data")))
     # precondition: the naive concatenation really would duplicate rows
     assert len(rows_only.addressable_shards) == 8  # 4 row blocks × 2 replicas
-    np.testing.assert_array_equal(assemble_local_predictions(rows_only), x)
+    np.testing.assert_array_equal(mesh_lib.assemble_local_rows(rows_only), x)
 
     both_axes = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
-    np.testing.assert_array_equal(assemble_local_predictions(both_axes), x)
+    np.testing.assert_array_equal(mesh_lib.assemble_local_rows(both_axes), x)
 
     replicated = jax.device_put(x, NamedSharding(mesh, P()))
-    np.testing.assert_array_equal(assemble_local_predictions(replicated), x)
+    np.testing.assert_array_equal(mesh_lib.assemble_local_rows(replicated), x)

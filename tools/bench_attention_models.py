@@ -1,5 +1,5 @@
 """Flax inference numbers for AttentionPoolingModel / AttentionNetVLADModel."""
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import numpy as np, jax, jax.numpy as jnp
 from learnablepoolingmethods_tpu.config import ModelConfig
@@ -9,26 +9,7 @@ from learnablepoolingmethods_tpu.models import create_model
 B, F, DIN = 256, 300, 1152
 CFG = ModelConfig(compute_dtype="bfloat16")
 
-def sync_floor():
-    nop = jax.jit(lambda x: jnp.sum(x)); t = jnp.ones((8,8)); float(nop(t))
-    best = 1e9
-    for _ in range(5):
-        t0=time.perf_counter(); float(nop(t)); best=min(best, time.perf_counter()-t0)
-    return best
-
-def timeit(run, iters=12, rounds=6):
-    o = run(jnp.zeros((), jnp.float32)); jax.block_until_ready(o)
-    fl = sync_floor(); best, stale = 1e9, 0
-    for _ in range(rounds):
-        t0 = time.perf_counter(); dep = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            o = run(dep); dep = (jnp.sum(o.astype(jnp.float32))*0).astype(jnp.float32)
-        jax.block_until_ready(o); t = time.perf_counter()-t0
-        if t < best: best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2: break
-    return (best-fl)/iters
+from _bench_util import sync_floor, timeit  # noqa: E402
 
 rng = np.random.default_rng(0)
 feats = rng.integers(0, 256, (B, F, DIN), dtype=np.uint8)

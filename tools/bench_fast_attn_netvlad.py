@@ -1,4 +1,4 @@
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import numpy as np, jax, jax.numpy as jnp
 from learnablepoolingmethods_tpu.config import ModelConfig
@@ -12,26 +12,7 @@ B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 F, DIN = 300, 1152
 CFG = ModelConfig(compute_dtype="bfloat16")
 
-def sync_floor():
-    nop = jax.jit(lambda x: jnp.sum(x)); t = jnp.ones((8,8)); float(nop(t))
-    best = 1e9
-    for _ in range(5):
-        t0=time.perf_counter(); float(nop(t)); best=min(best, time.perf_counter()-t0)
-    return best
-
-def timeit(run, iters=12, rounds=6):
-    o = run(jnp.zeros((), jnp.float32)); jax.block_until_ready(o)
-    fl = sync_floor(); best, stale = 1e9, 0
-    for _ in range(rounds):
-        t0 = time.perf_counter(); dep = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            o = run(dep); dep = (jnp.sum(o[0].astype(jnp.float32))*0).astype(jnp.float32)
-        jax.block_until_ready(o); t = time.perf_counter()-t0
-        if t < best: best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2: break
-    return (best-fl)/iters
+from _bench_util import sync_floor, timeit  # noqa: E402
 
 rng = np.random.default_rng(0)
 model = create_model("AttentionNetVLADModel", CFG)

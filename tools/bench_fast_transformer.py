@@ -1,5 +1,5 @@
 """Bench the config-5 fast path vs the flax path on the real TPU."""
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import numpy as np
 import jax
@@ -17,32 +17,7 @@ F, DIN = 300, 1152
 CFG = ModelConfig(compute_dtype="bfloat16")
 
 
-def sync_floor():
-    nop = jax.jit(lambda x: jnp.sum(x))
-    t = jnp.ones((8, 8)); float(nop(t))
-    best = 1e9
-    for _ in range(5):
-        t0 = time.perf_counter(); float(nop(t)); best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timeit(run, iters=16, rounds=8):
-    o = run(jnp.zeros((), jnp.float32)); jax.block_until_ready(o)
-    floor = sync_floor()
-    best, stale = 1e9, 0
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        dep = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            o = run(dep)
-            dep = (jnp.sum(o[0].astype(jnp.float32)) * 0).astype(jnp.float32)
-        jax.block_until_ready(o)
-        t = time.perf_counter() - t0
-        if t < best: best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2: break
-    return (best - floor) / iters
+from _bench_util import sync_floor, timeit  # noqa: E402
 
 
 def main():

@@ -10,7 +10,6 @@ Measures both paths on the real chip with the dep-chained methodology
 
 import argparse
 import sys
-import time
 
 sys.path.insert(0, ".")
 import numpy as np
@@ -23,42 +22,7 @@ from learnablepoolingmethods_tpu.ops.int8_matmul import (
 )
 
 
-def sync_floor():
-    nop = jax.jit(lambda x: jnp.sum(x))
-    t = jnp.ones((8, 8))
-    float(nop(t))
-    best = 1e9
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(nop(t))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def timeit(run, iters=8, rounds=6):
-    o = run(jnp.zeros((), jnp.float32))
-    jax.block_until_ready(o)
-    fl = sync_floor()
-    best, stale = 1e9, 0
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        dep = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            o = run(dep)
-            dep = (jnp.sum(o[:1, :8]) * 0).astype(jnp.float32)
-        jax.block_until_ready(o)
-        t = time.perf_counter() - t0
-        if t < best:
-            best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2:
-                break
-    return (best - fl) / iters
-
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+from _bench_util import log, timeit  # noqa: E402
 
 
 def main():

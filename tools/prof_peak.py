@@ -1,27 +1,8 @@
-import sys, time
+import sys
 sys.path.insert(0, ".")
 import numpy as np, jax, jax.numpy as jnp
 
-def sync_floor():
-    nop = jax.jit(lambda x: jnp.sum(x)); t = jnp.ones((8,8)); float(nop(t))
-    best = 1e9
-    for _ in range(5):
-        t0=time.perf_counter(); float(nop(t)); best=min(best, time.perf_counter()-t0)
-    return best
-
-def timeit(run, iters=8, rounds=6):
-    o = run(jnp.zeros((), jnp.float32)); jax.block_until_ready(o)
-    fl = sync_floor(); best, stale = 1e9, 0
-    for _ in range(rounds):
-        t0 = time.perf_counter(); dep = jnp.zeros((), jnp.float32)
-        for _ in range(iters):
-            o = run(dep); dep = (jnp.sum(o.astype(jnp.float32))*0).astype(jnp.float32)
-        jax.block_until_ready(o); t = time.perf_counter()-t0
-        if t < best: best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2: break
-    return (best-fl)/iters
+from _bench_util import sync_floor, timeit  # noqa: E402
 
 rng = np.random.default_rng(0)
 for (m,k,n) in ((8192,8192,8192), (76800,1024,3072), (76800,1024,1024), (76800,1152,1024)):

@@ -4,7 +4,6 @@ real TPU — where do the 25.4 ms @ B=256 go?
 Methodology: chained dispatch (device-side data dependency), single sync,
 sync-floor subtracted — same as bench.py.
 """
-import time
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -20,44 +19,14 @@ H = CFG.attention_heads
 FFD = CFG.transformer_ff_size
 
 
-def sync_floor(reps=5):
-    @jax.jit
-    def nop(x):
-        return jnp.sum(x)
-    t = jnp.ones((8, 8))
-    float(nop(t))
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(nop(t))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from _bench_util import timeit as _timeit  # noqa: E402
 
 
 def timeit(fn, args, iters=16, rounds=6):
-    """fn(dep, *args) -> array; chained via dep."""
+    """fn(dep, *args) -> array; jitted here, chained via dep
+    (adapter over the shared tools/_bench_util harness)."""
     jfn = jax.jit(fn)
-    out = jfn(jnp.zeros((), jnp.float32), *args)
-    jax.block_until_ready(out)
-    floor = sync_floor()
-    best = 1e9
-    stale = 0
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        dep = jnp.zeros((), jnp.float32)
-        o = None
-        for _ in range(iters):
-            o = jfn(dep, *args)
-            dep = (jnp.sum(o.astype(jnp.float32)) * 0).astype(jnp.float32)
-        jax.block_until_ready(o)
-        t = time.perf_counter() - t0
-        if t < best:
-            best, stale = t, 0
-        else:
-            stale += 1
-            if stale >= 2:
-                break
-    return (best - floor) / iters
+    return _timeit(lambda dep: jfn(dep, *args), iters=iters, rounds=rounds)
 
 
 def main():
