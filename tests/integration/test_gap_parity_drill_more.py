@@ -1,0 +1,473 @@
+"""GAP@20 parity drill, part 2: the remaining BASELINE configs (1, 2, 5).
+
+`test_gap_parity_drill.py` proved the end-to-end 1e-3 GAP promise for
+NetVLADModelLF (config 4) and DbofModel (config 3).  This file completes the
+must-parity matrix from `BASELINE.json#configs`:
+
+- **config 1, LogisticModel** and **config 2, MoeModel** — the video-level
+  path: tf.Example parse (`readers.py#YT8MAggregatedFeatureReader`
+  transcription) → l2-normalize (`train.py#build_graph`) → head read from a
+  TF1-Saver checkpoint under REFERENCE variable names
+  (`fully_connected/weights`, mixture-major `gates/weights`) →
+  reference-semantics EvaluationMetrics, vs our
+  ``eval.py --reference_checkpoint`` with ``--frame_features=False``.
+- **config 5, TransformerEncoderModel** — the full attention graph
+  (input proj → masked encoder blocks → masked mean → gated MoE tail,
+  ref: attention_modules.py#TransformerEncoder).  The reference's TF
+  variable names for this family are [M]-confidence (SURVEY.md §2.2), so
+  the checkpoint uses the importer's canonical layout (flax-verbatim for
+  encoder leaves, reference names for the shared tail) — what the drill
+  proves is cross-stack numerical parity of the COMPLETE pipeline
+  (TFRecord parse → dequantize → pad → model → GAP), which holds for any
+  naming.  The transformer consumes all frames deterministically (no
+  sampling), so default, ``--fast_eval`` AND the ``--fast_forward`` fused
+  path are all exactly comparable against the TF stack.
+
+Determinism note: video-level features have no frame sampling at all; the
+transformer uses every frame with a num_frames mask — both stacks are
+deterministic end to end, so the deltas below measure numerics only.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import tensorflow as tf
+
+from learnablepoolingmethods_tpu import eval as eval_cli
+from learnablepoolingmethods_tpu.config import ModelConfig, TrainingConfig
+from learnablepoolingmethods_tpu.core import checkpoint_import as ci
+from learnablepoolingmethods_tpu.core import step as step_lib
+from learnablepoolingmethods_tpu.data.fixtures import (
+    make_learnable_synthetic_frame_level,
+    make_learnable_synthetic_video_level,
+)
+from learnablepoolingmethods_tpu.metrics import eval_util
+
+FLAGS = eval_cli.FLAGS
+
+V = 32
+TOP_K = 20
+BN_EPS = 1e-3
+LN_EPS = 1e-6
+
+# video-level set (configs 1–2)
+VL_N, VL_RGB, VL_AUD = 400, 16, 4
+VL_D = VL_RGB + VL_AUD
+
+# frame-level set (config 5)
+FL_N, FL_RGB, FL_AUD, MAXF = 400, 16, 4, 10
+FL_D = FL_RGB + FL_AUD
+
+ATTN_FLAGS = dict(
+    attention_hidden_size=16,
+    attention_heads=2,
+    transformer_layers=2,
+    transformer_ff_size=24,
+    moe_num_mixtures=2,
+)
+
+
+def _train_and_export(model_name, data_pattern, ckpt_path, mcfg, reader,
+                      frame_features, steps=35, lr=0.02, batch_size=64):
+    """A few train steps on the drill set → TF1 checkpoint in the importer's
+    canonical reference layout (core/checkpoint_import.py)."""
+    import jax
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+    from learnablepoolingmethods_tpu.data import pipeline
+    from learnablepoolingmethods_tpu.models import create_model
+
+    tcfg = TrainingConfig(batch_size=batch_size, base_learning_rate=lr)
+    model = create_model(model_name, mcfg)
+    batches = pipeline.batch_iterator(
+        reader, data_pattern, tcfg.batch_size, num_epochs=None, shuffle=True,
+        seed=0,
+    )
+    first = next(batches)
+    params, bs = step_lib.init_model_variables(
+        model, first, frame_features=frame_features, seed=0
+    )
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    step = jax.jit(
+        step_lib.make_train_step(
+            model, losses.CrossEntropyLoss(), tcfg, mcfg,
+            frame_features=frame_features,
+        ),
+        donate_argnums=0,
+    )
+    rng = jax.random.key(0)
+    batch = first
+    for _ in range(steps):
+        db = {k: v for k, v in batch.items() if k != "video_id"}
+        state, metrics = step(state, db, rng)
+        batch = next(batches)
+    assert np.isfinite(float(metrics["loss"]))
+
+    ref_vars = ci.export_reference_layout(
+        jax.device_get(state.params), jax.device_get(state.batch_stats), V
+    )
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        for name, val in ref_vars.items():
+            tf1.Variable(initial_value=val, name=name)
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt_path, write_meta_graph=False)
+    return ckpt_path
+
+
+def _tf_stack_metrics(preds, labels):
+    em = eval_util.EvaluationMetrics(V, TOP_K)
+    em.accumulate(preds, labels, 0.0)
+    return em.get()
+
+
+def _our_stack_metrics(data_pattern, ckpt, model_name, *, frame_features,
+                       feature_names, feature_sizes, max_frames=MAXF,
+                       fast_eval=False, fast_forward=False, extra_flags=()):
+    FLAGS(["gap_parity_drill_more"])
+    FLAGS.eval_data_pattern = data_pattern
+    FLAGS.reference_checkpoint = ckpt
+    FLAGS.run_once = True
+    FLAGS.fast_eval = fast_eval
+    FLAGS.fast_forward = fast_forward
+    FLAGS.batch_size = 32
+    FLAGS.top_k = TOP_K
+    FLAGS.model = model_name
+    FLAGS.frame_features = frame_features
+    FLAGS.feature_names = feature_names
+    FLAGS.feature_sizes = feature_sizes
+    FLAGS.max_frames = max_frames
+    FLAGS.num_classes = V
+    FLAGS.model_parallelism = 1
+    FLAGS.dcn_parallelism = 1
+    FLAGS.use_grain = False
+    FLAGS.packed_cache_dir = ""
+    for name, val in dict(extra_flags).items():
+        setattr(FLAGS, name, val)
+    return eval_cli.evaluation_loop()
+
+
+# ---------------------------------------------------------------------------
+# Video-level TF stack (configs 1–2)
+# ---------------------------------------------------------------------------
+
+
+def _tf_parse_video_level(data_pattern):
+    """readers.py#YT8MAggregatedFeatureReader transcription: parse
+    tf.Example {id, labels, mean_rgb[16], mean_audio[4]} → dense multi-hot."""
+
+    def parse(rec):
+        ex = tf.io.parse_single_example(
+            rec,
+            {
+                "id": tf.io.FixedLenFeature([], tf.string),
+                "labels": tf.io.VarLenFeature(tf.int64),
+                "mean_rgb": tf.io.FixedLenFeature([VL_RGB], tf.float32),
+                "mean_audio": tf.io.FixedLenFeature([VL_AUD], tf.float32),
+            },
+        )
+        x = tf.concat([ex["mean_rgb"], ex["mean_audio"]], axis=0)
+        labels = tf.sparse.to_dense(ex["labels"])
+        multihot = tf.scatter_nd(
+            labels[:, None], tf.ones_like(labels, tf.float32), [V]
+        )
+        return x, multihot
+
+    ds = tf.data.TFRecordDataset(data_pattern).map(parse)
+    xs, ys = [], []
+    for x, y in ds:
+        xs.append(x.numpy())
+        ys.append(y.numpy())
+    return np.stack(xs), np.stack(ys)
+
+
+def _tf_eval_logistic(ckpt, x):
+    """video_level_models.py#LogisticModel: l2-normalize → sigmoid FC
+    (slim fully_connected variable names)."""
+    r = tf.train.load_checkpoint(ckpt)
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    logits = tf.matmul(
+        h, tf.constant(r.get_tensor("fully_connected/weights"))
+    ) + tf.constant(r.get_tensor("fully_connected/biases"))
+    return tf.nn.sigmoid(logits).numpy()
+
+
+def _tf_moe_reference(h, r, m):
+    """video_level_models.py#MoeModel: mixture-major reshape(-1, M+1)."""
+    gate_act = tf.matmul(h, tf.constant(r.get_tensor("gates/weights")))
+    expert_act = tf.matmul(
+        h, tf.constant(r.get_tensor("experts/weights"))
+    ) + tf.constant(r.get_tensor("experts/biases"))
+    gating = tf.nn.softmax(tf.reshape(gate_act, [-1, m + 1]))
+    expert = tf.nn.sigmoid(tf.reshape(expert_act, [-1, m]))
+    probs = tf.reduce_sum(gating[:, :m] * expert, 1)
+    return tf.reshape(probs, [-1, V])
+
+
+def _tf_eval_moe(ckpt, x, m):
+    r = tf.train.load_checkpoint(ckpt)
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    return _tf_moe_reference(h, r, m).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Transformer TF stack (config 5)
+# ---------------------------------------------------------------------------
+
+
+def _tf_parse_frame_level(data_pattern):
+    """readers.py#YT8MFrameFeatureReader transcription (same as the part-1
+    drill): parse → decode_raw(uint8) → Dequantize(2, −2) → pad to MAXF."""
+
+    def parse(rec):
+        ctx, seq = tf.io.parse_single_sequence_example(
+            rec,
+            context_features={
+                "id": tf.io.FixedLenFeature([], tf.string),
+                "labels": tf.io.VarLenFeature(tf.int64),
+            },
+            sequence_features={
+                "rgb": tf.io.FixedLenSequenceFeature([], tf.string),
+                "audio": tf.io.FixedLenSequenceFeature([], tf.string),
+            },
+        )
+        feats = []
+        for name, width in (("rgb", FL_RGB), ("audio", FL_AUD)):
+            raw = tf.cast(tf.io.decode_raw(seq[name], tf.uint8), tf.float32)
+            deq = raw * (4.0 / 255.0) + (4.0 / 512.0 - 2.0)  # utils.Dequantize
+            feats.append(tf.reshape(deq, [-1, width]))
+        x = tf.concat(feats, axis=1)
+        nf = tf.minimum(tf.shape(x)[0], MAXF)
+        x = tf.pad(x[:MAXF], [[0, MAXF - nf], [0, 0]])  # resize_axis
+        labels = tf.sparse.to_dense(ctx["labels"])
+        multihot = tf.scatter_nd(
+            labels[:, None], tf.ones_like(labels, tf.float32), [V]
+        )
+        return x, multihot, nf
+
+    ds = tf.data.TFRecordDataset(data_pattern).map(parse)
+    xs, ys, nfs = [], [], []
+    for x, y, nf in ds:
+        xs.append(x.numpy())
+        ys.append(y.numpy())
+        nfs.append(int(nf.numpy()))
+    return np.stack(xs), np.stack(ys), np.asarray(nfs, np.int32)
+
+
+def _ckpt_tree(ckpt):
+    """Checkpoint variables → nested dict keyed by '/'-split names."""
+    r = tf.train.load_checkpoint(ckpt)
+    tree = {}
+    for name in r.get_variable_to_shape_map():
+        node = tree
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = r.get_tensor(name)
+    return tree
+
+
+def _t(a):
+    return tf.constant(np.asarray(a, np.float32))
+
+
+def _tf_layernorm(x, p):
+    mean = tf.reduce_mean(x, axis=-1, keepdims=True)
+    var = tf.reduce_mean(tf.square(x), axis=-1, keepdims=True) - tf.square(mean)
+    return (x - mean) * tf.math.rsqrt(var + LN_EPS) * _t(p["scale"]) + _t(
+        p["bias"]
+    )
+
+
+def _tf_mha(x, p, mask):
+    """flax nn.MultiHeadDotProductAttention, deterministic, f32 (same
+    transcription as tests/golden/test_attention_lstm_golden.py)."""
+    head_dim = np.asarray(p["query"]["kernel"]).shape[-1]
+    q = tf.einsum("bqd,dhk->bqhk", x, _t(p["query"]["kernel"])) + _t(
+        p["query"]["bias"]
+    )
+    k = tf.einsum("bsd,dhk->bshk", x, _t(p["key"]["kernel"])) + _t(
+        p["key"]["bias"]
+    )
+    v = tf.einsum("bsd,dhk->bshk", x, _t(p["value"]["kernel"])) + _t(
+        p["value"]["bias"]
+    )
+    q = q / np.float32(np.sqrt(head_dim))
+    logits = tf.einsum("bqhk,bshk->bhqs", q, k)
+    logits = tf.where(mask, logits, tf.fill(tf.shape(logits), np.float32(-1e9)))
+    w = tf.nn.softmax(logits, axis=-1)
+    out = tf.einsum("bhqs,bshk->bqhk", w, v)
+    return tf.einsum("bqhk,hkd->bqd", out, _t(p["out"]["kernel"])) + _t(
+        p["out"]["bias"]
+    )
+
+
+def _tf_eval_transformer(ckpt, x, nf):
+    """Full TransformerEncoderModel graph (attention.py#TransformerEncoderModel):
+    l2-norm → input proj → masked encoder blocks → masked mean → hidden FC →
+    gating BN → mixture-major MoE head."""
+    tree = _ckpt_tree(ckpt)
+    r = tf.train.load_checkpoint(ckpt)
+    m = ATTN_FLAGS["moe_num_mixtures"]
+    pad_mask = (np.arange(MAXF)[None, :] < nf[:, None]).astype(np.float32)
+
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    h = tf.matmul(h, _t(tree["input_proj"]["kernel"])) + _t(
+        tree["input_proj"]["bias"]
+    )
+    attn_mask = tf.cast(_t(pad_mask), tf.bool)[:, None, None, :] & tf.fill(
+        (1, 1, MAXF, 1), True
+    )
+    for i in range(ATTN_FLAGS["transformer_layers"]):
+        lp = tree["encoder"][f"layer_{i}"]
+        attn = _tf_mha(h, lp["mha"], attn_mask)
+        h = _tf_layernorm(h + attn, lp["ln1"])
+        ff = tf.nn.relu(
+            tf.matmul(h, _t(lp["ff1"]["kernel"])) + _t(lp["ff1"]["bias"])
+        )
+        ff = tf.matmul(ff, _t(lp["ff2"]["kernel"])) + _t(lp["ff2"]["bias"])
+        h = _tf_layernorm(h + ff, lp["ln2"])
+
+    denom = tf.maximum(tf.reduce_sum(_t(pad_mask), axis=1, keepdims=True), 1.0)
+    pooled = tf.reduce_sum(h * _t(pad_mask)[:, :, None], axis=1) / denom
+
+    h2 = tf.matmul(pooled, _t(r.get_tensor("hidden1_weights"))) + _t(
+        r.get_tensor("hidden1_biases")
+    )
+    gates = tf.matmul(h2, _t(r.get_tensor("gating_weights")))
+    gates = (gates - _t(r.get_tensor("gating_bn/moving_mean"))) * tf.math.rsqrt(
+        _t(r.get_tensor("gating_bn/moving_variance")) + BN_EPS
+    ) * _t(r.get_tensor("gating_bn/gamma")) + _t(r.get_tensor("gating_bn/beta"))
+    h2 = h2 * tf.nn.sigmoid(gates)
+    return _tf_moe_reference(h2, r, m).numpy()
+
+
+# ---------------------------------------------------------------------------
+# Fixtures + tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vl_drill(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_vl"))
+    data = os.path.join(root, "val_vl.tfrecord")
+    make_learnable_synthetic_video_level(
+        data, num_videos=VL_N, num_classes=V, rgb_size=VL_RGB,
+        audio_size=VL_AUD, seed=7,
+    )
+    x, labels = _tf_parse_video_level(data)
+    assert x.shape == (VL_N, VL_D)
+    reader = readers.YT8MAggregatedFeatureReader(
+        num_classes=V, feature_sizes=(VL_RGB, VL_AUD),
+        feature_names=("mean_rgb", "mean_audio"),
+    )
+    mcfg = ModelConfig(vocab_size=V, moe_num_mixtures=2)
+    ckpts = {
+        name: _train_and_export(
+            name, data, os.path.join(root, f"{name}.ckpt"), mcfg, reader,
+            frame_features=False,
+        )
+        for name in ("LogisticModel", "MoeModel")
+    }
+    return data, ckpts, x, labels
+
+
+@pytest.mark.parametrize("model_name", ["LogisticModel", "MoeModel"])
+def test_gap_parity_video_level(vl_drill, model_name):
+    data, ckpts, x, labels = vl_drill
+    if model_name == "LogisticModel":
+        tf_preds = _tf_eval_logistic(ckpts[model_name], x)
+    else:
+        tf_preds = _tf_eval_moe(ckpts[model_name], x, m=2)
+    tf_info = _tf_stack_metrics(tf_preds, labels)
+
+    kw = dict(
+        frame_features=False,
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes=f"{VL_RGB},{VL_AUD}",
+        extra_flags={"moe_num_mixtures": 2},
+    )
+    our_info = _our_stack_metrics(data, ckpts[model_name], model_name, **kw)
+    fast_info = _our_stack_metrics(
+        data, ckpts[model_name], model_name, fast_eval=True, **kw
+    )
+
+    d_gap = abs(tf_info["gap"] - our_info["gap"])
+    d_gap_fast = abs(tf_info["gap"] - fast_info["gap"])
+    print(
+        f"\nGAP-parity drill [{model_name}]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d_gap:.2e}) "
+        f"fast={fast_info['gap']:.6f} (Δ={d_gap_fast:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d_gap <= 1e-3, (tf_info["gap"], our_info["gap"])
+    assert d_gap_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
+    assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
+    assert abs(tf_info["avg_perr"] - our_info["avg_perr"]) <= 1e-3
+
+
+@pytest.fixture(scope="module")
+def attn_drill(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_attn"))
+    data = os.path.join(root, "val_fl.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=11,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    assert x.shape == (FL_N, MAXF, FL_D)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **ATTN_FLAGS)
+    ckpt = _train_and_export(
+        "TransformerEncoderModel", data, os.path.join(root, "attn.ckpt"),
+        mcfg, reader, frame_features=True, steps=45,
+    )
+    return data, ckpt, x, labels, nf
+
+
+def test_gap_parity_transformer(attn_drill):
+    data, ckpt, x, labels, nf = attn_drill
+    tf_preds = _tf_eval_transformer(ckpt, x, nf)
+    tf_info = _tf_stack_metrics(tf_preds, labels)
+
+    kw = dict(
+        frame_features=True,
+        feature_names="rgb,audio",
+        feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=ATTN_FLAGS,
+    )
+    name = "TransformerEncoderModel"
+    our_info = _our_stack_metrics(data, ckpt, name, **kw)
+    fast_info = _our_stack_metrics(data, ckpt, name, fast_eval=True, **kw)
+    # the transformer samples nothing, so even the fused --fast_forward path
+    # is deterministic and exactly comparable against the TF stack
+    fused_info = _our_stack_metrics(data, ckpt, name, fast_forward=True, **kw)
+
+    d = abs(tf_info["gap"] - our_info["gap"])
+    d_fast = abs(tf_info["gap"] - fast_info["gap"])
+    d_fused = abs(tf_info["gap"] - fused_info["gap"])
+    print(
+        f"\nGAP-parity drill [TransformerEncoderModel]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e}) "
+        f"fast={fast_info['gap']:.6f} (Δ={d_fast:.2e}) "
+        f"fused={fused_info['gap']:.6f} (Δ={d_fused:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+    assert d_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
+    assert d_fused <= 1e-3, (tf_info["gap"], fused_info["gap"])
+    assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
+    assert abs(tf_info["avg_perr"] - our_info["avg_perr"]) <= 1e-3
