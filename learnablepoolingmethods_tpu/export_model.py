@@ -9,6 +9,10 @@ TPU-native artifact is framework-neutral and self-contained:
       params.msgpack        # flax-serialized parameters
       batch_stats.msgpack   # BN moving statistics
       stablehlo.bin         # (optional) jax.export'd forward for this platform
+      stablehlo.mlir        # (optional) the module as StableHLO text — the
+      native_spec.json      #   input to the C++ PJRT executor
+                            #   (native/stablehlo_runner.cc), with the
+                            #   flattened input/output specs it needs
 
 ``load_exported_model`` rebuilds the model + a ``serve(serialized_records)``
 callable with the same contract as the reference signature: it takes raw
@@ -35,6 +39,8 @@ _CONFIG_FILE = "model_config.json"
 _PARAMS_FILE = "params.msgpack"
 _STATS_FILE = "batch_stats.msgpack"
 _HLO_FILE = "stablehlo.bin"
+_MLIR_FILE = "stablehlo.mlir"
+_NATIVE_SPEC_FILE = "native_spec.json"
 
 
 def export_model(
@@ -46,6 +52,7 @@ def export_model(
     batch_stats,
     top_k: int = 20,
     with_stablehlo: bool = False,
+    stablehlo_batch_size: int = 1,
 ) -> str:
     os.makedirs(export_dir, exist_ok=True)
     meta = {
@@ -70,16 +77,17 @@ def export_model(
             predict = step_lib.make_predict_step(
                 model, mcfg, fcfg.frame_features, top_k=top_k
             )
+            b = stablehlo_batch_size
             if fcfg.frame_features:
-                feat_shape = (1, fcfg.max_frames, fcfg.total_size)
+                feat_shape = (b, fcfg.max_frames, fcfg.total_size)
                 args = (
                     params,
                     batch_stats,
                     jax.ShapeDtypeStruct(feat_shape, np.uint8),
-                    jax.ShapeDtypeStruct((1,), np.int32),
+                    jax.ShapeDtypeStruct((b,), np.int32),
                 )
             else:
-                feat_shape = (1, fcfg.total_size)
+                feat_shape = (b, fcfg.total_size)
                 args = (
                     params,
                     batch_stats,
@@ -88,6 +96,24 @@ def export_model(
             exported = jax_export.export(jax.jit(predict))(*args)
             with open(os.path.join(export_dir, _HLO_FILE), "wb") as f:
                 f.write(exported.serialize())
+            # the native C++ executor's inputs: StableHLO text + the
+            # flattened calling convention (core/native_runtime.py)
+            with open(os.path.join(export_dir, _MLIR_FILE), "w") as f:
+                f.write(exported.mlir_module())
+            spec = {
+                "batch_size": b,
+                "top_k": top_k,
+                "inputs": [
+                    {"shape": list(a.shape), "dtype": str(a.dtype)}
+                    for a in exported.in_avals
+                ],
+                "outputs": [
+                    {"shape": list(a.shape), "dtype": str(a.dtype)}
+                    for a in exported.out_avals
+                ],
+            }
+            with open(os.path.join(export_dir, _NATIVE_SPEC_FILE), "w") as f:
+                json.dump(spec, f, indent=2)
         except Exception as e:  # noqa: BLE001 — export is best-effort extra
             with open(os.path.join(export_dir, "stablehlo_error.txt"), "w") as f:
                 f.write(repr(e))
@@ -199,54 +225,80 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False,
                 "fast path (non-Willow NetVLAD config)"
             )
 
-    from learnablepoolingmethods_tpu.data import tfrecord_io
-    from learnablepoolingmethods_tpu.data.readers import resize_axis
-
     def serve(serialized_records: List[bytes]):
         """Serving signature: raw record bytes → (class_indexes, predictions).
 
         (ref: export_model.py#build_prediction_graph serving_default.)
         """
         if fcfg.frame_features:
-            feats, nfs = [], []
-            for rec in serialized_records:
-                _, fl = tfrecord_io.parse_sequence_example(rec)
-                mats = []
-                n = None
-                for name, size in zip(fcfg.feature_names, fcfg.feature_sizes):
-                    rows = [
-                        np.frombuffer(x.bytes_list[0], np.uint8)
-                        for x in fl.get(name, [])
-                    ]
-                    mat = (
-                        np.stack(rows) if rows else np.zeros((0, size), np.uint8)
-                    )
-                    n = mat.shape[0] if n is None else min(n, mat.shape[0])
-                    mats.append(resize_axis(mat, 0, fcfg.max_frames))
-                feats.append(np.concatenate(mats, axis=1))
-                nfs.append(min(n or 0, fcfg.max_frames))
+            feats, nfs = parse_serialized_records(fcfg, serialized_records)
             if fast_predict is not None:
-                values, indices = fast_predict(
-                    np.stack(feats), np.asarray(nfs, np.int32),
-                    jax.random.key(0),
-                )
+                values, indices = fast_predict(feats, nfs, jax.random.key(0))
             else:
-                values, indices = predict(
-                    params,
-                    batch_stats,
-                    np.stack(feats),
-                    np.asarray(nfs, np.int32),
-                )
+                values, indices = predict(params, batch_stats, feats, nfs)
         else:
-            feats = []
-            for rec in serialized_records:
-                fmap = tfrecord_io.parse_example(rec)
-                parts = [
-                    np.asarray(fmap[name].float_list, np.float32)
-                    for name in fcfg.feature_names
-                ]
-                feats.append(np.concatenate(parts))
-            values, indices = predict(params, batch_stats, np.stack(feats))
+            feats, _ = parse_serialized_records(fcfg, serialized_records)
+            values, indices = predict(params, batch_stats, feats)
         return np.asarray(indices), np.asarray(values)
 
     return model, params, batch_stats, mcfg, fcfg, serve
+
+
+def parse_serialized_records(fcfg: FeatureConfig, serialized_records):
+    """Raw record bytes → (features, num_frames | None) — the TF-free
+    transcription of the reference serving input stage
+    (ref: export_model.py#build_prediction_graph, readers.py)."""
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+    from learnablepoolingmethods_tpu.data.readers import resize_axis
+
+    if fcfg.frame_features:
+        feats, nfs = [], []
+        for rec in serialized_records:
+            _, fl = tfrecord_io.parse_sequence_example(rec)
+            mats = []
+            n = None
+            for name, size in zip(fcfg.feature_names, fcfg.feature_sizes):
+                rows = [
+                    np.frombuffer(x.bytes_list[0], np.uint8)
+                    for x in fl.get(name, [])
+                ]
+                mat = np.stack(rows) if rows else np.zeros((0, size), np.uint8)
+                n = mat.shape[0] if n is None else min(n, mat.shape[0])
+                mats.append(resize_axis(mat, 0, fcfg.max_frames))
+            feats.append(np.concatenate(mats, axis=1))
+            nfs.append(min(n or 0, fcfg.max_frames))
+        return np.stack(feats), np.asarray(nfs, np.int32)
+    feats = []
+    for rec in serialized_records:
+        fmap = tfrecord_io.parse_example(rec)
+        parts = [
+            np.asarray(fmap[name].float_list, np.float32)
+            for name in fcfg.feature_names
+        ]
+        feats.append(np.concatenate(parts))
+    return np.stack(feats), None
+
+
+def load_exported_native(export_dir: str):
+    """Load an export through the native C++ PJRT executor
+    (native/stablehlo_runner.cc): no Python/JAX in the execution path.
+
+    → (mcfg, fcfg, batch_size, serve) where ``serve`` has the same record
+    contract as ``load_exported_model``'s but a FIXED batch size (the
+    exported module's static shape) — callers pad to it.
+    """
+    from learnablepoolingmethods_tpu.core.native_runtime import (
+        NativeExecutable,
+    )
+
+    with open(os.path.join(export_dir, _CONFIG_FILE)) as f:
+        meta = json.load(f)
+    mcfg, fcfg = _configs_from_meta(meta)
+    exe = NativeExecutable.from_export_dir(export_dir)
+
+    def serve(serialized_records: List[bytes]):
+        feats, nfs = parse_serialized_records(fcfg, serialized_records)
+        values, indices = exe.run(feats, nfs)
+        return np.asarray(indices), np.asarray(values)
+
+    return mcfg, fcfg, exe.batch_size, serve

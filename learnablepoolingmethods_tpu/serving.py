@@ -55,6 +55,15 @@ def define_flags():
         "into one device batch.",
     )
     flags.DEFINE_bool(
+        "native_serve",
+        False,
+        "Serve through the native C++ PJRT executor "
+        "(native/stablehlo_runner.cc): the export's StableHLO module runs "
+        "with no Python/JAX in the execution path.  Requires an artifact "
+        "exported with with_stablehlo (stablehlo.mlir + native_spec.json); "
+        "the module's baked-in batch size overrides --serving_batch_size.",
+    )
+    flags.DEFINE_bool(
         "fast_serve",
         False,
         "Serve through the BN-folded fused forward when the model has one "
@@ -95,7 +104,34 @@ def unframe_records(body: bytes) -> List[bytes]:
 
 class ModelServer:
     def __init__(self, export_dir: str, serving_batch_size: int = 32,
-                 fast_serve: bool = False, int8_hidden: bool = False):
+                 fast_serve: bool = False, int8_hidden: bool = False,
+                 native: bool = False):
+        if native:
+            # the C++ PJRT executor (native/stablehlo_runner.cc): the
+            # exported StableHLO module runs with no Python/JAX in the
+            # execution path.  Its batch size is baked into the module
+            # (XLA static shapes), so it overrides the flag.
+            from learnablepoolingmethods_tpu.export_model import (
+                load_exported_native,
+            )
+
+            if fast_serve or int8_hidden:
+                raise ValueError(
+                    "--native_serve serves the exported flax graph; it is "
+                    "exclusive with --fast_serve/--int8_hidden (re-export "
+                    "with the fused path if you need both)"
+                )
+            self.model = self.params = self.batch_stats = None
+            (self.mcfg, self.fcfg, native_batch, self._serve) = (
+                load_exported_native(export_dir)
+            )
+            if serving_batch_size != native_batch:
+                logging.info(
+                    "native module batch size %d overrides "
+                    "--serving_batch_size=%d", native_batch, serving_batch_size,
+                )
+            self.batch_size = native_batch
+            return
         from learnablepoolingmethods_tpu.export_model import load_exported_model
 
         (self.model, self.params, self.batch_stats,
@@ -273,6 +309,7 @@ def serve_forever(
     batch_linger_ms: float = 2.0,
     fast_serve: bool = False,
     int8_hidden: bool = False,
+    native: bool = False,
 ):
     """Default mode: ThreadingHTTPServer accepts concurrent requests, the
     BatchingQueue coalesces them, and the dispatch loop runs on THIS (main)
@@ -281,14 +318,14 @@ def serve_forever(
     one request at a time, no queue."""
     model_server = ModelServer(export_dir, serving_batch_size,
                                fast_serve=fast_serve,
-                               int8_hidden=int8_hidden)
+                               int8_hidden=int8_hidden, native=native)
     logging.info("warming up compiled forward ...")
     model_server.warmup()
     if single_thread:
         httpd = HTTPServer(("0.0.0.0", port), make_handler(model_server))
         logging.info(
             "serving %s on :%d (batch %d, single-thread)",
-            export_dir, port, serving_batch_size,
+            export_dir, port, model_server.batch_size,
         )
         httpd.serve_forever()
         return
@@ -300,7 +337,7 @@ def serve_forever(
     accept_thread.start()
     logging.info(
         "serving %s on :%d (batch %d, batching queue, linger %.1f ms)",
-        export_dir, port, serving_batch_size, batch_linger_ms,
+        export_dir, port, model_server.batch_size, batch_linger_ms,
     )
     try:
         batcher.run_forever()  # jax dispatch loop, main thread
@@ -320,6 +357,7 @@ def main(unused_argv):
         batch_linger_ms=FLAGS.batch_linger_ms,
         fast_serve=FLAGS.fast_serve,
         int8_hidden=FLAGS.int8_hidden,
+        native=FLAGS.native_serve,
     )
 
 

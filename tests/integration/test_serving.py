@@ -333,3 +333,45 @@ def test_try_fast_predict_covers_new_models(model_name, cfg_kw):
         )["predictions"]
         want = np.sort(np.asarray(probs), axis=1)[:, ::-1][:, :3]
         np.testing.assert_allclose(v, want, atol=3e-2)  # bf16 fast path
+
+
+def test_native_serve_matches_jax(tmp_path):
+    """--native_serve: the C++ PJRT executor (native/stablehlo_runner.cc)
+    serves the same records as the jax-backed ModelServer and must produce
+    identical classes and scores (same StableHLO graph, same weights)."""
+    from learnablepoolingmethods_tpu.core import native_runtime as nr
+
+    if not nr.is_available():
+        pytest.skip(f"native runtime unavailable: {nr.load_error()}")
+
+    d = tmp_path
+    data_path = str(d / "data.tfrecord")
+    fixtures.write_video_level_fixture(
+        data_path, num_videos=5, num_classes=12, rgb_size=6, audio_size=2
+    )
+    mcfg = ModelConfig(vocab_size=12)
+    fcfg = FeatureConfig(("mean_rgb", "mean_audio"), (6, 2))
+    model = create_model("LogisticModel", mcfg)
+    example = {"features": np.zeros((1, 8), np.float32)}
+    params, bs = step_lib.init_model_variables(model, example, False)
+    export_dir = str(d / "export")
+    export_model(
+        export_dir, "LogisticModel", mcfg, fcfg, params, bs, top_k=4,
+        with_stablehlo=True, stablehlo_batch_size=4,
+    )
+
+    native_server = serving.ModelServer(export_dir, 32, native=True)
+    assert native_server.batch_size == 4  # the module's shape wins
+    jax_server = serving.ModelServer(export_dir, 4)
+
+    records = list(tfrecord_io.read_tfrecords(data_path))
+    got = native_server.predict_pairs(records)
+    want = jax_server.predict_pairs(records)
+    assert len(got) == len(want) == 5
+    for (gc, gs), (wc, ws) in zip(got, want):
+        assert gc == wc
+        np.testing.assert_allclose(gs, ws, atol=1e-6)
+
+    # exclusive with the fused-path flags
+    with pytest.raises(ValueError, match="exclusive"):
+        serving.ModelServer(export_dir, 4, native=True, fast_serve=True)
