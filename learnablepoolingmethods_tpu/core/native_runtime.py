@@ -116,6 +116,36 @@ def _load():
     return _lib
 
 
+_SERVE_SRC = os.path.join(_REPO_ROOT, "native", "serving_main.cc")
+_READER_SRC = os.path.join(_REPO_ROOT, "native", "tfrecord_reader.cc")
+_SERVE_BIN = os.path.join(_REPO_ROOT, "native", "lpm_serve")
+
+
+def build_serving_binary() -> str:
+    """Build (or reuse) the fully-native serving binary ``lpm_serve``
+    (native/serving_main.cc): socket → wire-format proto parse → PJRT
+    execute → JSON, no Python anywhere.  Returns the binary path."""
+    srcs = [_SERVE_SRC, _SRC, _READER_SRC]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(_SERVE_BIN) and os.path.getmtime(_SERVE_BIN) >= newest:
+        return _SERVE_BIN
+    tf_root = _tf_root()
+    inc = os.path.join(tf_root, "include")
+    cmd = [
+        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG",
+        "-o", _SERVE_BIN, *srcs,
+        "-I" + _STUB,
+        "-I" + inc,
+        "-I" + os.path.join(inc, "external", "highwayhash"),
+        "-I" + os.path.join(inc, "external", "farmhash_archive", "src"),
+        os.path.join(tf_root, "libtensorflow_cc.so.2"),
+        os.path.join(tf_root, "libtensorflow_framework.so.2"),
+        "-Wl,-rpath," + tf_root,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SERVE_BIN
+
+
 def is_available() -> bool:
     return _load() is not None
 

@@ -114,10 +114,67 @@ def export_model(
             }
             with open(os.path.join(export_dir, _NATIVE_SPEC_FILE), "w") as f:
                 json.dump(spec, f, indent=2)
+            _write_native_manifest(
+                export_dir, model_name, fcfg, params, batch_stats, spec
+            )
         except Exception as e:  # noqa: BLE001 — export is best-effort extra
             with open(os.path.join(export_dir, "stablehlo_error.txt"), "w") as f:
                 f.write(repr(e))
     return export_dir
+
+
+_MANIFEST_FILE = "native_manifest.txt"
+_WEIGHTS_FILE = "weights.bin"
+# short dtype tags shared with native/serving_main.cc
+_DTYPE_TAGS = {
+    "float32": "f32", "int32": "s32", "uint8": "u8", "bfloat16": "bf16",
+    "int8": "s8", "int64": "s64", "bool": "pred", "float64": "f64",
+}
+
+
+def _write_native_manifest(export_dir, model_name, fcfg, params, batch_stats,
+                           spec) -> None:
+    """The fully-native artifact pieces: raw weight blob + a line-based
+    manifest the C++ serving binary (native/serving_main.cc) reads without
+    a JSON/msgpack parser.  Weight order = the exported calling convention
+    (jax.tree leaves of (params, batch_stats)); arrays are dense row-major
+    little-endian, concatenated."""
+    leaves = [
+        np.ascontiguousarray(np.asarray(x))
+        for x in jax.tree_util.tree_leaves((params, batch_stats))
+    ]
+    with open(os.path.join(export_dir, _WEIGHTS_FILE), "wb") as f:
+        for a in leaves:
+            f.write(a.tobytes())
+
+    def _row(kind, aval):
+        tag = _DTYPE_TAGS[str(aval["dtype"])]
+        dims = " ".join(str(d) for d in aval["shape"])
+        return f"{kind} {tag} {len(aval['shape'])} {dims}".rstrip()
+
+    lines = [
+        "lpm_native_manifest 1",
+        f"model {model_name}",
+        f"batch_size {spec['batch_size']}",
+        f"top_k {spec['top_k']}",
+        f"frame_features {int(fcfg.frame_features)}",
+        f"max_frames {fcfg.max_frames}",
+        f"n_features {len(fcfg.feature_names)}",
+    ]
+    for name, size in zip(fcfg.feature_names, fcfg.feature_sizes):
+        lines.append(f"feature {name} {size}")
+    call_inputs = spec["inputs"][len(leaves):]
+    lines.append(f"n_call_inputs {len(call_inputs)}")
+    lines += [_row("call_input", a) for a in call_inputs]
+    lines.append(f"n_outputs {len(spec['outputs'])}")
+    lines += [_row("output", a) for a in spec["outputs"]]
+    lines.append(f"n_weights {len(leaves)}")
+    for a in leaves:
+        tag = _DTYPE_TAGS[str(a.dtype)]
+        dims = " ".join(str(d) for d in a.shape)
+        lines.append(f"weight {tag} {a.ndim} {dims}".rstrip())
+    with open(os.path.join(export_dir, _MANIFEST_FILE), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def _configs_from_meta(meta: dict) -> Tuple[ModelConfig, FeatureConfig]:

@@ -162,6 +162,137 @@ void write_labels(const std::vector<int64_t>& labels, float* out, int32_t num_cl
     if (l >= 0 && l < num_classes) out[l] = 1.0f;
 }
 
+// Feature-name layout shared by the file loops and the per-record entry
+// points (the serving binary parses single HTTP-posted records).
+struct FeatureSpec {
+  std::vector<const char*> names;
+  const int32_t* sizes;
+  int32_t n_features;
+  int32_t total_size;
+};
+
+FeatureSpec make_spec(const int32_t* feature_sizes, int32_t n_features,
+                      const char* feature_names) {
+  FeatureSpec spec;
+  spec.sizes = feature_sizes;
+  spec.n_features = n_features;
+  spec.total_size = 0;
+  spec.names.resize(n_features);
+  const char* cur = feature_names;
+  for (int i = 0; i < n_features; i++) {
+    spec.names[i] = cur;
+    cur += strlen(cur) + 1;
+    spec.total_size += feature_sizes[i];
+  }
+  return spec;
+}
+
+// One SequenceExample record → zero-padded [max_frames, total] uint8 row.
+// Returns min-over-features frame count (clamped to max_frames), 0 if the
+// record has no recognized feature lists.
+int32_t parse_frame_record(Span record, int32_t max_frames,
+                           const FeatureSpec& spec, uint8_t* frames_out,
+                           Span* id_out, std::vector<int64_t>* labels_out) {
+  Span context{nullptr, 0}, feature_lists{nullptr, 0};
+  for_each_field(record, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
+    if (field == 1 && wire == 2) context = val;
+    else if (field == 2 && wire == 2) feature_lists = val;
+  });
+
+  if (context.p) {
+    for_each_features_entry(context, [&](Span key, Span feat) {
+      if (span_eq(key, "id") || span_eq(key, "video_id")) {
+        FeatureView fv;
+        parse_feature(feat, &fv);
+        if (!fv.bytes_list.empty() && id_out) *id_out = fv.bytes_list[0];
+      } else if (span_eq(key, "labels")) {
+        FeatureView fv;
+        parse_feature(feat, &fv);
+        if (labels_out) *labels_out = std::move(fv.int64_list);
+      }
+    });
+  }
+
+  memset(frames_out, 0, static_cast<size_t>(max_frames) * spec.total_size);
+  int32_t min_frames = -1;
+
+  if (feature_lists.p) {
+    // FeatureLists: field 1 = map entry {1: key, 2: FeatureList}
+    for_each_field(feature_lists, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
+      if (field != 1 || wire != 2) return;
+      Span key{nullptr, 0}, flist{nullptr, 0};
+      for_each_field(val, [&](uint32_t f2, uint32_t w2, Span v2, uint64_t) {
+        if (f2 == 1 && w2 == 2) key = v2;
+        else if (f2 == 2 && w2 == 2) flist = v2;
+      });
+      if (!key.p || !flist.p) return;
+      int col = 0;
+      int fi = -1;
+      for (int i = 0; i < spec.n_features; i++) {
+        if (span_eq(key, spec.names[i])) { fi = i; break; }
+        col += spec.sizes[i];
+      }
+      if (fi < 0) return;
+      const int32_t fsize = spec.sizes[fi];
+      // FeatureList: repeated Feature (field 1), one per frame
+      int32_t frame = 0;
+      for_each_field(flist, [&](uint32_t f3, uint32_t w3, Span v3, uint64_t) {
+        if (f3 != 1 || w3 != 2) return;
+        if (frame >= max_frames) { frame++; return; }
+        FeatureView fv;
+        parse_feature(v3, &fv);
+        if (!fv.bytes_list.empty() &&
+            fv.bytes_list[0].n == static_cast<size_t>(fsize)) {
+          memcpy(frames_out + static_cast<size_t>(frame) * spec.total_size + col,
+                 fv.bytes_list[0].p, fsize);
+        }
+        frame++;
+      });
+      int32_t nf = frame < max_frames ? frame : max_frames;
+      min_frames = (min_frames < 0 || nf < min_frames) ? nf : min_frames;
+    });
+  }
+  return min_frames < 0 ? 0 : min_frames;
+}
+
+// One Example record → [total] float row (zero-filled for absent features).
+void parse_video_record(Span record, const FeatureSpec& spec, float* feat_out,
+                        Span* id_out, std::vector<int64_t>* labels_out) {
+  Span features{nullptr, 0};
+  for_each_field(record, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
+    if (field == 1 && wire == 2) features = val;
+  });
+
+  memset(feat_out, 0, sizeof(float) * spec.total_size);
+  if (!features.p) return;
+  for_each_features_entry(features, [&](Span key, Span feat) {
+    if (span_eq(key, "id") || span_eq(key, "video_id")) {
+      FeatureView fv;
+      parse_feature(feat, &fv);
+      if (!fv.bytes_list.empty() && id_out) *id_out = fv.bytes_list[0];
+      return;
+    }
+    if (span_eq(key, "labels")) {
+      FeatureView fv;
+      parse_feature(feat, &fv);
+      if (labels_out) *labels_out = std::move(fv.int64_list);
+      return;
+    }
+    int col = 0;
+    for (int i = 0; i < spec.n_features; i++) {
+      if (span_eq(key, spec.names[i])) {
+        FeatureView fv;
+        parse_feature(feat, &fv);
+        size_t n = fv.float_list.size();
+        if (n == static_cast<size_t>(spec.sizes[i]))
+          memcpy(feat_out + col, fv.float_list.data(), n * 4);
+        return;
+      }
+      col += spec.sizes[i];
+    }
+  });
+}
+
 }  // namespace
 
 extern "C" {
@@ -178,20 +309,10 @@ int64_t lpm_parse_frame_file(const char* path, int32_t max_frames,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
 
-  int32_t total_size = 0;
-  std::vector<const char*> names(n_features);
-  {
-    const char* cur = feature_names;
-    for (int i = 0; i < n_features; i++) {
-      names[i] = cur;
-      cur += strlen(cur) + 1;
-      total_size += feature_sizes[i];
-    }
-  }
-
+  FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
   std::vector<uint8_t> buf;
   int64_t count = 0;
-  const size_t row_bytes = static_cast<size_t>(max_frames) * total_size;
+  const size_t row_bytes = static_cast<size_t>(max_frames) * spec.total_size;
 
   while (count < max_records) {
     uint8_t header[12];
@@ -204,77 +325,33 @@ int64_t lpm_parse_frame_file(const char* path, int32_t max_frames,
     if (fread(crc, 1, 4, f) != 4) break;
 
     Span record{buf.data(), static_cast<size_t>(length)};
-    Span context{nullptr, 0}, feature_lists{nullptr, 0};
-    for_each_field(record, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
-      if (field == 1 && wire == 2) context = val;
-      else if (field == 2 && wire == 2) feature_lists = val;
-    });
-
-    // context: id + labels
     Span id{nullptr, 0};
     std::vector<int64_t> labels;
-    if (context.p) {
-      for_each_features_entry(context, [&](Span key, Span feat) {
-        if (span_eq(key, "id") || span_eq(key, "video_id")) {
-          FeatureView fv;
-          parse_feature(feat, &fv);
-          if (!fv.bytes_list.empty()) id = fv.bytes_list[0];
-        } else if (span_eq(key, "labels")) {
-          FeatureView fv;
-          parse_feature(feat, &fv);
-          labels = std::move(fv.int64_list);
-        }
-      });
-    }
-
-    uint8_t* frames_out = out_frames + count * row_bytes;
-    memset(frames_out, 0, row_bytes);
-    int32_t min_frames = -1;
-
-    if (feature_lists.p) {
-      // FeatureLists: field 1 = map entry {1: key, 2: FeatureList}
-      for_each_field(feature_lists, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
-        if (field != 1 || wire != 2) return;
-        Span key{nullptr, 0}, flist{nullptr, 0};
-        for_each_field(val, [&](uint32_t f2, uint32_t w2, Span v2, uint64_t) {
-          if (f2 == 1 && w2 == 2) key = v2;
-          else if (f2 == 2 && w2 == 2) flist = v2;
-        });
-        if (!key.p || !flist.p) return;
-        int col = 0;
-        int fi = -1;
-        for (int i = 0; i < n_features; i++) {
-          if (span_eq(key, names[i])) { fi = i; break; }
-          col += feature_sizes[i];
-        }
-        if (fi < 0) return;
-        const int32_t fsize = feature_sizes[fi];
-        // FeatureList: repeated Feature (field 1), one per frame
-        int32_t frame = 0;
-        for_each_field(flist, [&](uint32_t f3, uint32_t w3, Span v3, uint64_t) {
-          if (f3 != 1 || w3 != 2) return;
-          if (frame >= max_frames) { frame++; return; }
-          FeatureView fv;
-          parse_feature(v3, &fv);
-          if (!fv.bytes_list.empty() &&
-              fv.bytes_list[0].n == static_cast<size_t>(fsize)) {
-            memcpy(frames_out + static_cast<size_t>(frame) * total_size + col,
-                   fv.bytes_list[0].p, fsize);
-          }
-          frame++;
-        });
-        int32_t nf = frame < max_frames ? frame : max_frames;
-        min_frames = (min_frames < 0 || nf < min_frames) ? nf : min_frames;
-      });
-    }
-
-    out_num_frames[count] = min_frames < 0 ? 0 : min_frames;
+    out_num_frames[count] = parse_frame_record(
+        record, max_frames, spec, out_frames + count * row_bytes, &id, &labels);
     write_labels(labels, out_labels + count * num_classes, num_classes);
     write_id(id, out_video_ids + count * id_width, id_width);
     count++;
   }
   fclose(f);
   return count;
+}
+
+// Single SequenceExample blob (e.g. one HTTP-posted serving record) →
+// zero-padded [max_frames, total] uint8 row + num_frames.  Returns 0, or
+// -1 on malformed framing (absent features parse as zero rows, matching
+// the file path's behavior).
+int32_t lpm_parse_frame_record(const uint8_t* data, int64_t len,
+                               int32_t max_frames,
+                               const int32_t* feature_sizes,
+                               int32_t n_features, const char* feature_names,
+                               uint8_t* out_frames, int32_t* out_num_frames) {
+  if (!data || len < 0) return -1;
+  FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
+  Span record{data, static_cast<size_t>(len)};
+  *out_num_frames =
+      parse_frame_record(record, max_frames, spec, out_frames, nullptr, nullptr);
+  return 0;
 }
 
 // Parse a video-level (Example) TFRecord file into packed arrays.
@@ -286,17 +363,7 @@ int64_t lpm_parse_video_file(const char* path, const int32_t* feature_sizes,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
 
-  int32_t total_size = 0;
-  std::vector<const char*> names(n_features);
-  {
-    const char* cur = feature_names;
-    for (int i = 0; i < n_features; i++) {
-      names[i] = cur;
-      cur += strlen(cur) + 1;
-      total_size += feature_sizes[i];
-    }
-  }
-
+  FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
   std::vector<uint8_t> buf;
   int64_t count = 0;
   while (count < max_records) {
@@ -310,51 +377,29 @@ int64_t lpm_parse_video_file(const char* path, const int32_t* feature_sizes,
     if (fread(crc, 1, 4, f) != 4) break;
 
     Span record{buf.data(), static_cast<size_t>(length)};
-    Span features{nullptr, 0};
-    for_each_field(record, [&](uint32_t field, uint32_t wire, Span val, uint64_t) {
-      if (field == 1 && wire == 2) features = val;
-    });
-
-    float* feat_out = out_features + count * total_size;
-    memset(feat_out, 0, sizeof(float) * total_size);
     Span id{nullptr, 0};
     std::vector<int64_t> labels;
-
-    if (features.p) {
-      for_each_features_entry(features, [&](Span key, Span feat) {
-        if (span_eq(key, "id") || span_eq(key, "video_id")) {
-          FeatureView fv;
-          parse_feature(feat, &fv);
-          if (!fv.bytes_list.empty()) id = fv.bytes_list[0];
-          return;
-        }
-        if (span_eq(key, "labels")) {
-          FeatureView fv;
-          parse_feature(feat, &fv);
-          labels = std::move(fv.int64_list);
-          return;
-        }
-        int col = 0;
-        for (int i = 0; i < n_features; i++) {
-          if (span_eq(key, names[i])) {
-            FeatureView fv;
-            parse_feature(feat, &fv);
-            size_t n = fv.float_list.size();
-            if (n == static_cast<size_t>(feature_sizes[i]))
-              memcpy(feat_out + col, fv.float_list.data(), n * 4);
-            return;
-          }
-          col += feature_sizes[i];
-        }
-      });
-    }
-
+    parse_video_record(record, spec, out_features + count * spec.total_size,
+                       &id, &labels);
     write_labels(labels, out_labels + count * num_classes, num_classes);
     write_id(id, out_video_ids + count * id_width, id_width);
     count++;
   }
   fclose(f);
   return count;
+}
+
+// Single Example blob → [total] float feature row.  Returns 0, or -1 on
+// malformed framing.
+int32_t lpm_parse_video_record(const uint8_t* data, int64_t len,
+                               const int32_t* feature_sizes,
+                               int32_t n_features, const char* feature_names,
+                               float* out_features) {
+  if (!data || len < 0) return -1;
+  FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
+  Span record{data, static_cast<size_t>(len)};
+  parse_video_record(record, spec, out_features, nullptr, nullptr);
+  return 0;
 }
 
 // Count records in a TFRecord file (for buffer sizing).

@@ -1,0 +1,122 @@
+"""lpm_serve — the fully native C++ serving binary (native/serving_main.cc).
+
+socket → wire-format proto parse (tfrecord_reader.cc) → PJRT CPU execute
+(stablehlo_runner.cc) → JSON, with no Python in the process.  The oracle is
+the jax-backed ModelServer on the same artifact: classes must match exactly
+and scores to the 1e-6 rounding both sides apply.
+"""
+
+import http.client
+import json
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from learnablepoolingmethods_tpu.core import native_runtime as nr
+
+pytestmark = pytest.mark.skipif(
+    not nr.is_available(),
+    reason=f"native StableHLO runtime unavailable: {nr.load_error()}",
+)
+
+V = 18
+TOP_K = 5
+MAXF = 6
+B = 4
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.data import fixtures
+    from learnablepoolingmethods_tpu.export_model import export_model
+    from learnablepoolingmethods_tpu.models import create_model
+
+    d = tmp_path_factory.mktemp("lpmserve")
+    data_path = str(d / "data.tfrecord")
+    fixtures.write_frame_level_fixture(
+        data_path, num_videos=7, num_classes=V, rgb_size=10, audio_size=2,
+        max_frames=MAXF,
+    )
+    mcfg = ModelConfig(
+        vocab_size=V, iterations=MAXF, sample_random_frames=False,
+        dbof_cluster_size=16, dbof_hidden_size=8, moe_num_mixtures=2,
+    )
+    fcfg = FeatureConfig(("rgb", "audio"), (10, 2), True, MAXF)
+    model = create_model("DbofModel", mcfg)
+    example = {
+        "features": np.zeros((1, MAXF, 12), np.uint8),
+        "num_frames": np.ones((1,), np.int32),
+    }
+    params, bs = step_lib.init_model_variables(model, example, True)
+    export_dir = str(d / "export")
+    export_model(
+        export_dir, "DbofModel", mcfg, fcfg, params, bs, top_k=TOP_K,
+        with_stablehlo=True, stablehlo_batch_size=B,
+    )
+    return export_dir, data_path
+
+
+def test_check_mode(artifact):
+    export_dir, _ = artifact
+    binary = nr.build_serving_binary()
+    proc = subprocess.run(
+        [binary, f"--export_dir={export_dir}", "--check"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout)
+    assert len(out["predictions"][0]["classes"]) == TOP_K
+
+
+def test_http_serving_matches_jax(artifact):
+    from learnablepoolingmethods_tpu import serving
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+
+    export_dir, data_path = artifact
+    binary = nr.build_serving_binary()
+    port = 18620 + (os.getpid() % 997)
+    proc = subprocess.Popen(
+        [binary, f"--export_dir={export_dir}", f"--port={port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        # readiness: the binary prints its serving line after compile
+        line = ""
+        deadline = time.time() + 280
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                break
+            assert proc.poll() is None, "lpm_serve exited early"
+        assert "serving" in line, f"no readiness line: {line!r}"
+
+        records = list(tfrecord_io.read_tfrecords(data_path))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b"ok"
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=serving.frame_records(records))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        got = json.loads(resp.read())["predictions"]
+
+        # bad framing → 400, server stays alive
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=b"\xff\xff\xff\xff junk")
+        assert conn.getresponse().status == 400
+
+        jax_server = serving.ModelServer(export_dir, B)
+        want = jax_server.predict_pairs(records)
+        assert len(got) == len(want) == 7
+        for g, (wc, ws) in zip(got, want):
+            assert g["classes"] == wc
+            np.testing.assert_allclose(g["scores"], ws, atol=2e-6)
+    finally:
+        proc.kill()
+        proc.wait()
