@@ -53,18 +53,33 @@ _DTYPE_CODES = {
 }
 
 
+def _np_dtype(name: str) -> np.dtype:
+    if name == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
 def _tf_root() -> str:
     import tensorflow as tf
 
     return os.path.dirname(os.path.abspath(tf.__file__))
 
 
-def _build() -> None:
+_STUB_HDR = os.path.join(_STUB, "mlir", "IR", "BuiltinOps.h")
+
+
+def _gxx_cmd(output: str, sources, shared: bool):
+    """The one g++ invocation both native-runtime artifacts share — the
+    -DNDEBUG and include/lib set MUST stay identical (see the .cc header
+    comment on AsyncValue type-ids)."""
     tf_root = _tf_root()
     inc = os.path.join(tf_root, "include")
-    cmd = [
-        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG", "-shared", "-fPIC",
-        "-o", _SO, _SRC,
+    return [
+        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG",
+        *(["-shared", "-fPIC"] if shared else []),
+        "-o", output, *sources,
         "-I" + _STUB,
         "-I" + inc,
         "-I" + os.path.join(inc, "external", "highwayhash"),
@@ -73,7 +88,12 @@ def _build() -> None:
         os.path.join(tf_root, "libtensorflow_framework.so.2"),
         "-Wl,-rpath," + tf_root,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _build() -> None:
+    subprocess.run(
+        _gxx_cmd(_SO, [_SRC], shared=True), check=True, capture_output=True
+    )
 
 
 def _load():
@@ -81,9 +101,8 @@ def _load():
     if _lib is not None or _load_error is not None:
         return _lib
     try:
-        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
+        newest = max(os.path.getmtime(_SRC), os.path.getmtime(_STUB_HDR))
+        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < newest:
             _build()
         lib = ctypes.CDLL(_SO)
         lib.shr_compile.restype = ctypes.c_void_p
@@ -126,23 +145,13 @@ def build_serving_binary() -> str:
     (native/serving_main.cc): socket → wire-format proto parse → PJRT
     execute → JSON, no Python anywhere.  Returns the binary path."""
     srcs = [_SERVE_SRC, _SRC, _READER_SRC]
-    newest = max(os.path.getmtime(s) for s in srcs)
+    newest = max(os.path.getmtime(s) for s in srcs + [_STUB_HDR])
     if os.path.exists(_SERVE_BIN) and os.path.getmtime(_SERVE_BIN) >= newest:
         return _SERVE_BIN
-    tf_root = _tf_root()
-    inc = os.path.join(tf_root, "include")
-    cmd = [
-        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG",
-        "-o", _SERVE_BIN, *srcs,
-        "-I" + _STUB,
-        "-I" + inc,
-        "-I" + os.path.join(inc, "external", "highwayhash"),
-        "-I" + os.path.join(inc, "external", "farmhash_archive", "src"),
-        os.path.join(tf_root, "libtensorflow_cc.so.2"),
-        os.path.join(tf_root, "libtensorflow_framework.so.2"),
-        "-Wl,-rpath," + tf_root,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    subprocess.run(
+        _gxx_cmd(_SERVE_BIN, srcs, shared=False), check=True,
+        capture_output=True,
+    )
     return _SERVE_BIN
 
 
@@ -300,11 +309,43 @@ class NativeExecutable:
 
     @staticmethod
     def _flatten_weights(export_dir: str) -> List[np.ndarray]:
-        """Flatten (params, batch_stats) exactly as jax.export flattened the
-        traced arguments (jax.tree leaf order of the tuple)."""
-        import jax
+        """Weight leaves in the exported calling convention's order.
+
+        Reads the raw ``weights.bin`` blob export wrote (already flattened
+        in jax.tree leaf order) rather than re-initializing the flax model
+        — startup stays JAX-free.  Falls back to the model path for
+        artifacts exported before weights.bin existed."""
+        import json as _json
 
         from learnablepoolingmethods_tpu import export_model as em
+
+        blob_path = os.path.join(export_dir, em._WEIGHTS_FILE)
+        spec_path = os.path.join(export_dir, em._NATIVE_SPEC_FILE)
+        cfg_path = os.path.join(export_dir, em._CONFIG_FILE)
+        if os.path.exists(blob_path):
+            with open(spec_path) as f:
+                spec = _json.load(f)
+            with open(cfg_path) as f:
+                meta = _json.load(f)
+            n_call = 2 if meta["feature_config"]["frame_features"] else 1
+            weight_specs = spec["inputs"][:-n_call]
+            blob = np.fromfile(blob_path, np.uint8)
+            leaves, off = [], 0
+            for w in weight_specs:
+                dt = _np_dtype(w["dtype"])
+                n = int(np.prod(w["shape"], dtype=np.int64)) if w["shape"] else 1
+                nbytes = n * dt.itemsize
+                leaves.append(
+                    blob[off : off + nbytes].view(dt).reshape(w["shape"])
+                )
+                off += nbytes
+            if off != blob.size:
+                raise ValueError(
+                    f"weights.bin has {blob.size} bytes, spec accounts for "
+                    f"{off} — re-export the artifact"
+                )
+            return leaves
+        import jax
 
         model, params, batch_stats, mcfg, fcfg, _ = em.load_exported_model(
             export_dir

@@ -22,6 +22,7 @@
 // batch, prints the first scores and exits — the smoke gate tests use.
 
 #include <arpa/inet.h>
+#include <csignal>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -142,11 +143,14 @@ bool LoadManifest(const std::string& path, Manifest* m) {
   ok = ok && fscanf(f, "%63s %127s", word, name) == 2 &&
        strcmp(word, "model") == 0;
   if (ok) m->model = name;
-  ok = ok && fscanf(f, "%63s %d", word, &m->batch_size) == 2;
-  ok = ok && fscanf(f, "%63s %d", word, &m->top_k) == 2;
-  ok = ok && fscanf(f, "%63s %d", word, &m->frame_features) == 2;
-  ok = ok && fscanf(f, "%63s %d", word, &m->max_frames) == 2;
-  ok = ok && fscanf(f, "%63s %d", word, &n) == 2;
+  auto scalar = [&](const char* key, int32_t* out) {
+    return fscanf(f, "%63s %d", word, out) == 2 && strcmp(word, key) == 0;
+  };
+  ok = ok && scalar("batch_size", &m->batch_size);
+  ok = ok && scalar("top_k", &m->top_k);
+  ok = ok && scalar("frame_features", &m->frame_features);
+  ok = ok && scalar("max_frames", &m->max_frames);
+  ok = ok && scalar("n_features", &n);
   for (int i = 0; ok && i < n; i++) {
     int32_t size;
     ok = fscanf(f, "%63s %127s %d", word, name, &size) == 3 &&
@@ -156,13 +160,13 @@ bool LoadManifest(const std::string& path, Manifest* m) {
       m->feature_sizes.push_back(size);
     }
   }
-  ok = ok && fscanf(f, "%63s %d", word, &n) == 2;
+  ok = ok && scalar("n_call_inputs", &n);
   m->call_inputs.resize(ok ? n : 0);
   for (auto& s : m->call_inputs) ok = ok && ParseSpecRow(f, "call_input", &s);
-  ok = ok && fscanf(f, "%63s %d", word, &n) == 2;
+  ok = ok && scalar("n_outputs", &n);
   m->outputs.resize(ok ? n : 0);
   for (auto& s : m->outputs) ok = ok && ParseSpecRow(f, "output", &s);
-  ok = ok && fscanf(f, "%63s %d", word, &n) == 2;
+  ok = ok && scalar("n_weights", &n);
   m->weights.resize(ok ? n : 0);
   for (auto& s : m->weights) ok = ok && ParseSpecRow(f, "weight", &s);
   fclose(f);
@@ -236,6 +240,20 @@ struct Server {
                     dims.empty() ? nullptr : dims.data(), ndims.data(),
                     errbuf, sizeof(errbuf)) != 0) {
       *err = errbuf;
+      return false;
+    }
+    // Predict() reinterprets out[0] as f32 values [B, k], out[1] as s32
+    // indices [B, k] — pin that layout here rather than crashing later
+    if (m.outputs.size() != 2 || m.outputs[0].dtype != 0 ||
+        m.outputs[1].dtype != 1 || m.outputs[0].dims.size() != 2 ||
+        m.outputs[0].dims[1] != m.top_k || m.outputs[1].dims != m.outputs[0].dims) {
+      *err = "manifest outputs are not (f32 [B,k] values, s32 [B,k] indices)";
+      return false;
+    }
+    if (m.call_inputs.empty() || m.batch_size <= 0 ||
+        m.call_inputs[0].dims.empty() ||
+        m.call_inputs[0].dims[0] != m.batch_size) {
+      *err = "manifest call inputs inconsistent with batch_size";
       return false;
     }
     return true;
@@ -345,6 +363,8 @@ struct Server {
 
 // --- minimal HTTP/1.1 ------------------------------------------------------
 
+constexpr size_t kMaxBody = 64u << 20;
+
 bool RecvRequest(int fd, std::string* head, std::vector<uint8_t>* body) {
   head->clear();
   body->clear();
@@ -356,7 +376,7 @@ bool RecvRequest(int fd, std::string* head, std::vector<uint8_t>* body) {
     if (n <= 0) return false;
     data.append(buf, n);
     header_end = data.find("\r\n\r\n");
-    if (data.size() > (64u << 20)) return false;
+    if (data.size() > kMaxBody) return false;
   }
   *head = data.substr(0, header_end);
   size_t content_len = 0;
@@ -373,6 +393,7 @@ bool RecvRequest(int fd, std::string* head, std::vector<uint8_t>* body) {
       break;
     }
   }
+  if (content_len > kMaxBody) return false;
   std::string rest = data.substr(header_end + 4);
   body->assign(rest.begin(), rest.end());
   while (body->size() < content_len) {
@@ -411,12 +432,16 @@ bool UnframeRecords(const std::vector<uint8_t>& body,
     records->emplace_back(body.data() + pos, len);
     pos += len;
   }
-  return pos == body.size();
+  // serving.py#unframe_records silently ignores <4 trailing bytes; only a
+  // record overrunning the body is a framing error (caught above)
+  return true;
 }
 
 }  // namespace
 
 int main(int argc, char** argv) {
+  // a client closing mid-response must EPIPE the send(), not kill the server
+  signal(SIGPIPE, SIG_IGN);
   std::string export_dir;
   int port = 8500;
   bool check_only = false;
@@ -481,6 +506,9 @@ int main(int argc, char** argv) {
     int fd = accept(sfd, nullptr, nullptr);
     if (fd < 0) continue;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+    // an idle connection must not wedge the single accept loop
+    struct timeval tmo = {30, 0};
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tmo, sizeof(tmo));
     if (!RecvRequest(fd, &head, &body)) {
       close(fd);
       continue;

@@ -214,7 +214,10 @@ int32_t parse_frame_record(Span record, int32_t max_frames,
   }
 
   memset(frames_out, 0, static_cast<size_t>(max_frames) * spec.total_size);
-  int32_t min_frames = -1;
+  // num_frames = min over ALL configured features, absent list -> 0 frames
+  // (matches data/readers.py#YT8MFrameFeatureReader; a record missing one
+  // configured modality masks out entirely rather than scoring on the other)
+  std::vector<int32_t> counts(spec.n_features, 0);
 
   if (feature_lists.p) {
     // FeatureLists: field 1 = map entry {1: key, 2: FeatureList}
@@ -248,11 +251,13 @@ int32_t parse_frame_record(Span record, int32_t max_frames,
         }
         frame++;
       });
-      int32_t nf = frame < max_frames ? frame : max_frames;
-      min_frames = (min_frames < 0 || nf < min_frames) ? nf : min_frames;
+      counts[fi] = frame < max_frames ? frame : max_frames;
     });
   }
-  return min_frames < 0 ? 0 : min_frames;
+  int32_t min_frames = spec.n_features > 0 ? counts[0] : 0;
+  for (int i = 1; i < spec.n_features; i++)
+    if (counts[i] < min_frames) min_frames = counts[i];
+  return min_frames;
 }
 
 // One Example record → [total] float row (zero-filled for absent features).

@@ -150,3 +150,34 @@ def test_native_csv_formatter_large_values(rng):
         native_loader.format_csv(
             [b"v0"], np.array([[1e38]], np.float32), np.array([[0]], np.int32)
         )
+
+
+def test_absent_modality_num_frames_matches_python(tmp_path):
+    """A record missing a CONFIGURED feature list must yield num_frames=0 in
+    both stacks (min over all configured features, absent -> 0 — the
+    readers.py#YT8MFrameFeatureReader semantic the C++ parser now shares;
+    previously the C++ side minned over present lists only)."""
+    if not native_loader.is_available():
+        pytest.skip(native_loader.load_error())
+    path = str(tmp_path / "onemod.tfrecord")
+    rgb = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    other = np.zeros((3, 2), np.uint8)
+    # the record carries lists "rgb" and "unused"; we parse configured
+    # ("rgb", "audio") so "audio" is absent
+    rec = fixtures.encode_frame_sequence_example(
+        b"v0", [1], rgb, other, feature_names=("rgb", "unused")
+    )
+    with open(path, "wb") as f:
+        fixtures.write_tfrecord(f, rec)
+
+    got = native_loader.parse_frame_file(
+        path, max_frames=5, feature_sizes=(4, 2),
+        feature_names=("rgb", "audio"), num_classes=3,
+    )
+    reader = YT8MFrameFeatureReader(
+        num_classes=3, feature_sizes=(4, 2), feature_names=("rgb", "audio"),
+        max_frames=5,
+    )
+    want = list(reader.read_file(path))[0]
+    assert got["num_frames"][0] == want["num_frames"] == 0
+    np.testing.assert_array_equal(got["features"][0], want["features"])
