@@ -118,6 +118,39 @@ def bench(
 
 
 def main():
+    # Fail fast (one JSON error line) instead of hanging the driver if the
+    # axon tunnel is unreachable: backend init normally takes seconds; give
+    # it 5 minutes, then hard-exit.  The watchdog disarms once devices are
+    # enumerated (the remaining work can still be slow, but it is compute,
+    # not a dead tunnel).
+    import os
+    import threading
+
+    armed = threading.Event()
+
+    def _watchdog():
+        if not armed.wait(300):
+            print(
+                json.dumps(
+                    {
+                        "metric": "netvlad256_inference_videos_per_sec_per_chip",
+                        "value": 0.0,
+                        "unit": "videos/sec/chip",
+                        "vs_baseline": 0.0,
+                        "error": "TPU backend init timed out after 300s "
+                                 "(axon tunnel unreachable)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    jax.devices()
+    armed.set()
+
     baseline = 20000.0
     value, step_s = bench()
     print(
