@@ -128,3 +128,34 @@ def test_frame_level_native_matches_jax(tmp_path):
     # wrong batch size → clean error, not a crash
     with pytest.raises(ValueError, match="pad the batch"):
         exe.run(feats[:2], nf[:2])
+
+
+def test_flagship_netvlad_native_matches_jax(tmp_path):
+    """NetVLADModelLF (the flagship, BASELINE config 4) exports to StableHLO
+    and runs natively: the flax graph is pure jnp (the Pallas kernels live
+    only in the separate fast paths), so the whole Willow chain — dequant →
+    ℓ2 → input BN → dual NetVLAD → hidden FC → gating → MoE → top-k —
+    executes on the PJRT CPU runtime."""
+    from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig
+
+    rng = np.random.default_rng(2)
+    maxf = 5
+    mcfg = ModelConfig(
+        vocab_size=V, iterations=maxf, sample_random_frames=False,
+        netvlad_cluster_size=8, netvlad_hidden_size=16, moe_num_mixtures=2,
+    )
+    fcfg = FeatureConfig.from_flag_strings(
+        "rgb,audio", "12,4", frame_features=True, max_frames=maxf,
+    )
+    feats = rng.integers(0, 256, size=(3, maxf, 16), dtype=np.uint8)
+    nf = np.array([5, 2, 4], np.int32)
+    batch = {"features": feats, "num_frames": nf}
+    export_dir, predict, params, batch_stats = _export_and_load(
+        tmp_path, "NetVLADModelLF", mcfg, fcfg, batch
+    )
+
+    exe = nr.NativeExecutable.from_export_dir(export_dir)
+    got_vals, got_idx = exe.run(feats, nf)
+    want_vals, want_idx = predict(params, batch_stats, feats, nf)
+    np.testing.assert_array_equal(got_idx, np.asarray(want_idx))
+    np.testing.assert_allclose(got_vals, np.asarray(want_vals), atol=1e-6)
