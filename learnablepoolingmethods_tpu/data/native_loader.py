@@ -68,6 +68,18 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_char_p,
         ]
+        lib.lpm_parse_frame_record.restype = ctypes.c_int32
+        lib.lpm_parse_frame_record.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.lpm_parse_video_record.restype = ctypes.c_int32
+        lib.lpm_parse_video_record.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.lpm_format_csv.restype = ctypes.c_int64
         lib.lpm_format_csv.argtypes = [
             ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
@@ -175,6 +187,55 @@ def parse_video_file(
         for i in range(n)
     ]
     return {"features": feats[:n], "labels": labels[:n], "video_id": ids}
+
+
+def parse_frame_record(
+    record: bytes,
+    max_frames: int = 300,
+    feature_sizes: Sequence[int] = (1024, 128),
+    feature_names: Sequence[str] = ("rgb", "audio"),
+):
+    """One serialized SequenceExample blob → (features [F,D] uint8, nf) —
+    the per-record entry point the native serving binary uses on
+    HTTP-posted records (native/serving_main.cc)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_load_error}")
+    total = sum(feature_sizes)
+    frames = np.zeros((max_frames, total), np.uint8)
+    nf = ctypes.c_int32(0)
+    sizes = (ctypes.c_int32 * len(feature_sizes))(*feature_sizes)
+    rc = lib.lpm_parse_frame_record(
+        record, len(record), max_frames, sizes, len(feature_sizes),
+        _pack_names(feature_names),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(nf),
+    )
+    if rc != 0:
+        raise ValueError("malformed record")
+    return frames, int(nf.value)
+
+
+def parse_video_record(
+    record: bytes,
+    feature_sizes: Sequence[int] = (1024, 128),
+    feature_names: Sequence[str] = ("mean_rgb", "mean_audio"),
+):
+    """One serialized Example blob → features [D] float32."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_load_error}")
+    total = sum(feature_sizes)
+    feats = np.zeros((total,), np.float32)
+    sizes = (ctypes.c_int32 * len(feature_sizes))(*feature_sizes)
+    rc = lib.lpm_parse_video_record(
+        record, len(record), sizes, len(feature_sizes),
+        _pack_names(feature_names),
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        raise ValueError("malformed record")
+    return feats
 
 
 def format_csv(video_ids, values, indices) -> bytes:

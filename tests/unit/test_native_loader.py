@@ -181,3 +181,100 @@ def test_absent_modality_num_frames_matches_python(tmp_path):
     want = list(reader.read_file(path))[0]
     assert got["num_frames"][0] == want["num_frames"] == 0
     np.testing.assert_array_equal(got["features"][0], want["features"])
+
+
+# --- per-record parse fuzzing (the lpm_serve HTTP input surface) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_frame_record_fuzz_parity(data):
+    """Random well-formed SequenceExamples: the C++ per-record parser must
+    match the Python reader exactly (features bytes + num_frames) under
+    random frame counts, modality lengths, and max_frames clamping."""
+    if not native_loader.is_available():
+        pytest.skip(native_loader.load_error())
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    rgb_size = data.draw(st.integers(1, 8))
+    aud_size = data.draw(st.integers(1, 4))
+    maxf = data.draw(st.integers(1, 6))
+    n_rgb = data.draw(st.integers(0, 8))
+    n_aud = data.draw(st.integers(0, 8))
+    rec = fixtures.encode_frame_sequence_example(
+        b"fz", [0],
+        rng.integers(0, 256, (n_rgb, rgb_size), dtype=np.uint8),
+        rng.integers(0, 256, (n_aud, aud_size), dtype=np.uint8),
+    )
+    got_f, got_nf = native_loader.parse_frame_record(
+        rec, max_frames=maxf, feature_sizes=(rgb_size, aud_size),
+        feature_names=("rgb", "audio"),
+    )
+    # Python oracle: the reader's record-level semantics
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+    from learnablepoolingmethods_tpu.data.readers import resize_axis
+
+    _, fl = tfrecord_io.parse_sequence_example(rec)
+    mats, nf = [], None
+    for name, size in (("rgb", rgb_size), ("audio", aud_size)):
+        rows = [np.frombuffer(x.bytes_list[0], np.uint8) for x in fl.get(name, [])]
+        mat = np.stack(rows) if rows else np.zeros((0, size), np.uint8)
+        nf = mat.shape[0] if nf is None else min(nf, mat.shape[0])
+        mats.append(resize_axis(mat, 0, maxf))
+    want_f = np.concatenate(mats, axis=1)
+    want_nf = min(nf, maxf)
+    assert got_nf == want_nf
+    np.testing.assert_array_equal(got_f, want_f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(max_size=200))
+def test_record_parsers_never_crash_on_garbage(blob):
+    """Arbitrary bytes (the lpm_serve threat model: untrusted HTTP bodies)
+    must parse to zeros or raise ValueError — never crash the process."""
+    if not native_loader.is_available():
+        pytest.skip(native_loader.load_error())
+    try:
+        f, nf = native_loader.parse_frame_record(
+            blob, max_frames=4, feature_sizes=(3, 2),
+            feature_names=("rgb", "audio"),
+        )
+        assert f.shape == (4, 5) and 0 <= nf <= 4
+    except ValueError:
+        pass
+    try:
+        v = native_loader.parse_video_record(
+            blob, feature_sizes=(3, 2), feature_names=("mean_rgb", "mean_audio")
+        )
+        assert v.shape == (5,)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_video_record_fuzz_parity(data):
+    if not native_loader.is_available():
+        pytest.skip(native_loader.load_error())
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    rgb_size = data.draw(st.integers(1, 8))
+    aud_size = data.draw(st.integers(1, 4))
+    rec = fixtures.encode_video_example(
+        b"vz", [0],
+        rng.normal(size=rgb_size).astype(np.float32),
+        rng.normal(size=aud_size).astype(np.float32),
+    )
+    got = native_loader.parse_video_record(
+        rec, feature_sizes=(rgb_size, aud_size),
+        feature_names=("mean_rgb", "mean_audio"),
+    )
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+
+    fmap = tfrecord_io.parse_example(rec)
+    want = np.concatenate([
+        np.asarray(fmap["mean_rgb"].float_list, np.float32),
+        np.asarray(fmap["mean_audio"].float_list, np.float32),
+    ])
+    np.testing.assert_array_equal(got, want)
