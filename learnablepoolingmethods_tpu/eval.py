@@ -44,19 +44,12 @@ def define_flags():
     flags.DEFINE_bool(
         "fast_forward",
         False,
-        "Run the BN-folded fused forward (Pallas on TPU) instead of the flax "
-        "model — NetVLAD/NetFV/NetRVLAD/SoftDbof LF models and DbofModel.",
+        "Run the BN-folded fused forward (Pallas on TPU) instead of the "
+        "flax model — every model with a registered fast path "
+        "(ops/fast_dispatch.py: NetVLAD/DBoF/NetFV/NetRVLAD/SoftDbof/"
+        "NeXtVLAD/Transformer/AttentionNetVLAD).",
     )
-    # serving.py defines this flag too (its namespace is otherwise
-    # disjoint, and the modules can be co-imported) — define-once
-    if "int8_hidden" not in flags.FLAGS:
-        flags.DEFINE_bool(
-            "int8_hidden",
-            False,
-            "With --fast_forward on NetVLADModelLF: int8 weight-only hidden "
-            "FC (ops/int8_matmul.py); lets eval measure the exact numerics "
-            "the --int8_hidden serving path runs.",
-        )
+    lpm_flags.define_int8_hidden_flag()
     flags.DEFINE_integer(
         "poll_interval_secs", 30, "Seconds between checkpoint polls."
     )

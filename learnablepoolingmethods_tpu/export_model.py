@@ -222,7 +222,8 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False,
     """Rebuild (model, params, batch_stats, mcfg, fcfg, serve_fn).
 
     ``prefer_fast``: serve through the BN-folded fused forward when the
-    model/config has one (NetVLAD/NetFV/NetRVLAD/SoftDbof LF, DBoF) —
+    model/config has one (every ops/fast_dispatch.py entry: NetVLAD/DBoF/
+    NetFV/NetRVLAD/SoftDbof/NeXtVLAD/Transformer/AttentionNetVLAD) —
     1.4–5× the flax throughput; silently falls back when unsupported.
     Off by default because the fast path draws its frame-sampling
     randomness differently than the flax module (same distribution,

@@ -19,6 +19,23 @@ from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig, Train
 FLAGS = flags.FLAGS
 
 
+def define_int8_hidden_flag():
+    """--int8_hidden is consumed by eval, inference, AND serving (each can
+    be imported in one process, e.g. by the test suite), so the single
+    definition lives here behind a define-once guard — per-CLI copies had
+    already drifted their help text (review finding)."""
+    if "int8_hidden" not in flags.FLAGS:
+        flags.DEFINE_bool(
+            "int8_hidden",
+            False,
+            "With the fused forward (--fast_infer/--fast_forward/"
+            "--fast_serve) on NetVLADModelLF: store the giant hidden FC "
+            "weight int8 (per-column scales, convert fused into the dot by "
+            "XLA — ops/int8_matmul.py). ~1.8x on the HBM-bound FC stage, "
+            "+14% e2e at B=256; |dGAP| inside the 1e-3 budget (BASELINE.md).",
+        )
+
+
 def define_data_flags():
     flags.DEFINE_string(
         "feature_names", "mean_rgb,mean_audio", "Name of the feature columns."

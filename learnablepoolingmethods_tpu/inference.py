@@ -33,21 +33,12 @@ def define_flags():
     flags.DEFINE_bool(
         "fast_infer",
         False,
-        "Use the fused inference path (BN folding, Pallas NetVLAD, bf16); "
-        "NetVLADModelLF and DbofModel.",
+        "Use the fused inference path (BN folding, Pallas kernels, bf16) "
+        "for every model with a registered fast path (ops/fast_dispatch.py: "
+        "NetVLAD/DBoF/NetFV/NetRVLAD/SoftDbof/NeXtVLAD/Transformer/"
+        "AttentionNetVLAD).",
     )
-    # serving.py defines this flag too (its namespace is otherwise
-    # disjoint, and the modules can be co-imported) — define-once
-    if "int8_hidden" not in flags.FLAGS:
-        flags.DEFINE_bool(
-            "int8_hidden",
-            False,
-            "With --fast_infer on NetVLADModelLF: store the giant hidden FC "
-            "weight int8 (per-column scales, convert fused into the dot by "
-            "XLA — ops/int8_matmul.py); ~1.8x on the HBM-bound FC stage, "
-            "+14% e2e at B=256; GAP impact inside the 1e-3 budget "
-            "(BASELINE.md).",
-        )
+    lpm_flags.define_int8_hidden_flag()
     flags.DEFINE_string(
         "reference_checkpoint",
         "",

@@ -27,6 +27,17 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 
+# The LOUPE-family models served by ops/fast_lf.py's shared builder.  The
+# canonical list lives HERE (fast_lf imports it) so that registry lookups
+# and error messages never import the Pallas kernel modules.
+FAST_LF_MODELS = (
+    "NetFVModelLF",
+    "NetRVLADModelLF",
+    "SoftDbofModelLF",
+    "NeXtVLADModel",
+)
+
+
 class FastPath(NamedTuple):
     prepare: Callable[..., Dict[str, Any]]
     build: Callable[..., Callable]
@@ -140,18 +151,22 @@ def _attn_netvlad() -> FastPath:
     return FastPath(prepare, build, supports_int8=False)
 
 
-def _factories() -> Dict[str, Callable[[], FastPath]]:
-    from learnablepoolingmethods_tpu.ops.fast_lf import FAST_LF_MODELS
+_REGISTRY: Optional[Dict[str, Callable[[], FastPath]]] = None
 
-    reg: Dict[str, Callable[[], FastPath]] = {
-        "NetVLADModelLF": _netvlad,
-        "DbofModel": _dbof,
-        "TransformerEncoderModel": _transformer,
-        "AttentionNetVLADModel": _attn_netvlad,
-    }
-    for name in FAST_LF_MODELS:
-        reg[name] = (lambda n: (lambda: _lf(n)))(name)
-    return reg
+
+def _factories() -> Dict[str, Callable[[], FastPath]]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        reg: Dict[str, Callable[[], FastPath]] = {
+            "NetVLADModelLF": _netvlad,
+            "DbofModel": _dbof,
+            "TransformerEncoderModel": _transformer,
+            "AttentionNetVLADModel": _attn_netvlad,
+        }
+        for name in FAST_LF_MODELS:
+            reg[name] = (lambda n: (lambda: _lf(n)))(name)
+        _REGISTRY = reg
+    return _REGISTRY
 
 
 def fast_path_models() -> Tuple[str, ...]:

@@ -46,12 +46,7 @@ from learnablepoolingmethods_tpu.ops.softdbow_pallas import (
 )
 from learnablepoolingmethods_tpu.utils.quantization import dequantize
 
-FAST_LF_MODELS = (
-    "NetFVModelLF",
-    "NetRVLADModelLF",
-    "SoftDbofModelLF",
-    "NeXtVLADModel",
-)
+from learnablepoolingmethods_tpu.ops.fast_dispatch import FAST_LF_MODELS
 
 _MODULE_PREFIX = {
     "NetFVModelLF": "NetFV",

@@ -71,18 +71,9 @@ def define_flags():
         "forward otherwise. Frame sampling uses a different (equally "
         "distributed) random stream than the flax path.",
     )
-    # eval.py/inference.py define the same flag; serving's namespace is
-    # otherwise disjoint from theirs but all three can be co-imported
-    # (e.g. by the test suite), so define-once
-    if "int8_hidden" not in flags.FLAGS:
-        flags.DEFINE_bool(
-            "int8_hidden",
-            False,
-            "With --fast_serve on a NetVLADModelLF export: weight-only int8 "
-            "hidden FC (ops/int8_matmul.py). Serving batches are small "
-            "enough that the FC is HBM-bound — the regime where int8 pays "
-            "most; |ΔGAP| ≤ 1e-3 (BASELINE.md).",
-        )
+    from learnablepoolingmethods_tpu import flags as lpm_flags
+
+    lpm_flags.define_int8_hidden_flag()
 
 
 def frame_records(records: List[bytes]) -> bytes:

@@ -31,6 +31,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cmath>
 #include <string>
 #include <vector>
 
@@ -191,6 +192,9 @@ struct Server {
   std::string names_packed;
   int32_t total_size = 0;
 
+  // request-scratch buffers, sized once (requests are serialized)
+  std::vector<std::vector<uint8_t>> in_bufs, out_bufs;
+
   bool Load(const std::string& export_dir, std::string* err) {
     char errbuf[4096] = {0};
     if (!LoadManifest(export_dir + "/native_manifest.txt", &m)) {
@@ -256,6 +260,8 @@ struct Server {
       *err = "manifest call inputs inconsistent with batch_size";
       return false;
     }
+    for (const auto& s : m.call_inputs) in_bufs.emplace_back(s.bytes(), 0);
+    for (const auto& s : m.outputs) out_bufs.emplace_back(s.bytes(), 0);
     return true;
   }
 
@@ -265,12 +271,9 @@ struct Server {
                       std::string* err) {
     const int32_t B = m.batch_size;
     const int32_t k = m.top_k;
-    // per-call input buffers at the module's static batch size
-    std::vector<std::vector<uint8_t>> in_bufs;
-    for (const auto& s : m.call_inputs)
-      in_bufs.emplace_back(s.bytes(), 0);
-    std::vector<std::vector<uint8_t>> out_bufs;
-    for (const auto& s : m.outputs) out_bufs.emplace_back(s.bytes(), 0);
+    // in_bufs/out_bufs are member scratch sized at Load(); the record
+    // parsers fully overwrite each row (they memset their own output), so
+    // no per-request clearing is needed
 
     std::string json = "{\"predictions\": [";
     char errbuf[4096] = {0};
@@ -349,8 +352,14 @@ struct Server {
         }
         json += "], \"scores\": [";
         for (int32_t j = 0; j < k; j++) {
-          snprintf(num, sizeof(num), "%s%.6f", j ? ", " : "",
-                   values[i * k + j]);
+          float v = values[i * k + j];
+          // JSON has no NaN/Inf; a diverged checkpoint must not emit an
+          // unparseable 200 body — null marks the broken score honestly
+          if (std::isfinite(v)) {
+            snprintf(num, sizeof(num), "%s%.6f", j ? ", " : "", v);
+          } else {
+            snprintf(num, sizeof(num), "%snull", j ? ", " : "");
+          }
           json += num;
         }
         json += "]}";

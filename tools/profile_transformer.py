@@ -4,6 +4,10 @@ real TPU — where do the 25.4 ms @ B=256 go?
 Methodology: chained dispatch (device-side data dependency), single sync,
 sync-floor subtracted — same as bench.py.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
