@@ -471,3 +471,93 @@ def test_gap_parity_transformer(attn_drill):
     assert d_fused <= 1e-3, (tf_info["gap"], fused_info["gap"])
     assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
     assert abs(tf_info["avg_perr"] - our_info["avg_perr"]) <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# LstmModel arm — the recurrent family end-to-end
+# ---------------------------------------------------------------------------
+
+LSTM_FLAGS = dict(lstm_cells=16, lstm_layers=2, moe_num_mixtures=2)
+
+
+def _tf_eval_lstm(ckpt, x, nf):
+    """Full LstmModel graph (frame_level_models.py#LstmModel): l2-norm →
+    2 stacked BasicLSTMCells (fused [D+H,4H] kernels read from the
+    checkpoint under reference names, runtime forget_bias=1.0,
+    sequence_length-frozen state — dynamic_rnn semantics) → final h → MoE."""
+    r = tf.train.load_checkpoint(ckpt)
+    m = LSTM_FLAGS["moe_num_mixtures"]
+    h_units = LSTM_FLAGS["lstm_cells"]
+
+    seq = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    nf_t = tf.constant(nf)
+    final_h = None
+    for layer in range(LSTM_FLAGS["lstm_layers"]):
+        scope = f"RNN/rnn/multi_rnn_cell/cell_{layer}/basic_lstm_cell"
+        w = tf.constant(r.get_tensor(f"{scope}/kernel"))
+        b = tf.constant(r.get_tensor(f"{scope}/bias"))
+        b_sz = seq.shape[0]
+        c = tf.zeros((b_sz, h_units), tf.float32)
+        hh = tf.zeros((b_sz, h_units), tf.float32)
+        outs = []
+        for t in range(seq.shape[1]):
+            zt = tf.matmul(tf.concat([seq[:, t], hh], axis=1), w) + b
+            i, j, f, o = tf.split(zt, 4, axis=1)
+            new_c = c * tf.sigmoid(f + 1.0) + tf.sigmoid(i) * tf.tanh(j)
+            new_h = tf.tanh(new_c) * tf.sigmoid(o)
+            alive = tf.cast(t < nf_t, tf.float32)[:, None]
+            c = alive * new_c + (1 - alive) * c
+            hh = alive * new_h + (1 - alive) * hh
+            outs.append(alive * new_h)
+        seq = tf.stack(outs, axis=1)
+        final_h = hh
+    return _tf_moe_reference(final_h, r, m).numpy()
+
+
+@pytest.fixture(scope="module")
+def lstm_drill(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_lstm"))
+    data = os.path.join(root, "val_lstm.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=13,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **LSTM_FLAGS)
+    ckpt = _train_and_export(
+        "LstmModel", data, os.path.join(root, "lstm.ckpt"), mcfg, reader,
+        frame_features=True, steps=60, lr=0.05,
+    )
+    return data, ckpt, x, labels, nf
+
+
+def test_gap_parity_lstm(lstm_drill):
+    data, ckpt, x, labels, nf = lstm_drill
+    tf_info = _tf_stack_metrics(_tf_eval_lstm(ckpt, x, nf), labels)
+
+    kw = dict(
+        frame_features=True,
+        feature_names="rgb,audio",
+        feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=LSTM_FLAGS,
+    )
+    our_info = _our_stack_metrics(data, ckpt, "LstmModel", **kw)
+    fast_info = _our_stack_metrics(data, ckpt, "LstmModel", fast_eval=True, **kw)
+
+    d = abs(tf_info["gap"] - our_info["gap"])
+    d_fast = abs(tf_info["gap"] - fast_info["gap"])
+    print(
+        f"\nGAP-parity drill [LstmModel]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e}) "
+        f"fast={fast_info['gap']:.6f} (Δ={d_fast:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+    assert d_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
+    assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
