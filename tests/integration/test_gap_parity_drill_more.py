@@ -1,4 +1,5 @@
-"""GAP@20 parity drill, part 2: the remaining BASELINE configs (1, 2, 5).
+"""GAP@20 parity drill, part 2: the remaining BASELINE configs (1, 2, 5)
+plus the recurrent family (LstmModel).
 
 `test_gap_parity_drill.py` proved the end-to-end 1e-3 GAP promise for
 NetVLADModelLF (config 4) and DbofModel (config 3).  This file completes the

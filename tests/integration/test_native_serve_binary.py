@@ -120,3 +120,64 @@ def test_http_serving_matches_jax(artifact):
     finally:
         proc.kill()
         proc.wait()
+
+
+def test_video_level_check_and_http(tmp_path):
+    """lpm_serve's video-level branch (Example parse → f32 features, no
+    num_frames input): --check plus one HTTP roundtrip vs the jax server."""
+    from learnablepoolingmethods_tpu import serving
+    from learnablepoolingmethods_tpu.config import FeatureConfig, ModelConfig
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.data import fixtures, tfrecord_io
+    from learnablepoolingmethods_tpu.export_model import export_model
+    from learnablepoolingmethods_tpu.models import create_model
+
+    data_path = str(tmp_path / "vl.tfrecord")
+    fixtures.write_video_level_fixture(
+        data_path, num_videos=5, num_classes=V, rgb_size=6, audio_size=2
+    )
+    mcfg = ModelConfig(vocab_size=V, moe_num_mixtures=2)
+    fcfg = FeatureConfig(("mean_rgb", "mean_audio"), (6, 2))
+    model = create_model("MoeModel", mcfg)
+    params, bs = step_lib.init_model_variables(
+        model, {"features": np.zeros((1, 8), np.float32)}, False
+    )
+    export_dir = str(tmp_path / "export_vl")
+    export_model(
+        export_dir, "MoeModel", mcfg, fcfg, params, bs, top_k=TOP_K,
+        with_stablehlo=True, stablehlo_batch_size=3,
+    )
+
+    binary = nr.build_serving_binary()
+    proc = subprocess.run(
+        [binary, f"--export_dir={export_dir}", "--check"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert len(json.loads(proc.stdout)["predictions"][0]["classes"]) == TOP_K
+
+    port = 18910 + (os.getpid() % 89)
+    server = subprocess.Popen(
+        [binary, f"--export_dir={export_dir}", f"--port={port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        while True:
+            line = server.stdout.readline()
+            if "serving" in line:
+                break
+            assert server.poll() is None, "lpm_serve exited early"
+        records = list(tfrecord_io.read_tfrecords(data_path))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/predict", body=serving.frame_records(records))
+        resp = conn.getresponse()
+        assert resp.status == 200
+        got = json.loads(resp.read())["predictions"]
+        want = serving.ModelServer(export_dir, 3).predict_pairs(records)
+        assert len(got) == len(want) == 5
+        for g, (wc, ws) in zip(got, want):
+            assert g["classes"] == wc
+            np.testing.assert_allclose(g["scores"], ws, atol=2e-6)
+    finally:
+        server.kill()
+        server.wait()
