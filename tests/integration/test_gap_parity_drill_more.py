@@ -562,3 +562,84 @@ def test_gap_parity_lstm(lstm_drill):
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
     assert d_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
     assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
+
+
+GRU_FLAGS = dict(gru_cells=16, gru_layers=2, moe_num_mixtures=2)
+
+
+def _tf_eval_gru(ckpt, x, nf):
+    """Full GruModel graph: l2-norm → stacked reset-after GRU cells (read
+    from the checkpoint's verbatim flax layout — the rebuild's GRU is the
+    reset-after variant, tests/golden/test_attention_lstm_golden.py) →
+    final h → MoE."""
+    tree = _ckpt_tree(ckpt)
+    r = tf.train.load_checkpoint(ckpt)
+    m = GRU_FLAGS["moe_num_mixtures"]
+    h_units = GRU_FLAGS["gru_cells"]
+
+    def _t(a):
+        return tf.constant(np.asarray(a, np.float32))
+
+    seq = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    nf_t = tf.constant(nf)
+    hh = None
+    for layer in range(GRU_FLAGS["gru_layers"]):
+        cp = tree[f"GRUCell_{layer}"]
+        b_sz = seq.shape[0]
+        hh = tf.zeros((b_sz, h_units), tf.float32)
+        outs = []
+        for t in range(seq.shape[1]):
+            xt = seq[:, t]
+            rg = tf.sigmoid(
+                tf.matmul(xt, _t(cp["ir"]["kernel"])) + _t(cp["ir"]["bias"])
+                + tf.matmul(hh, _t(cp["hr"]["kernel"]))
+            )
+            z = tf.sigmoid(
+                tf.matmul(xt, _t(cp["iz"]["kernel"])) + _t(cp["iz"]["bias"])
+                + tf.matmul(hh, _t(cp["hz"]["kernel"]))
+            )
+            n = tf.tanh(
+                tf.matmul(xt, _t(cp["in"]["kernel"])) + _t(cp["in"]["bias"])
+                + rg * (tf.matmul(hh, _t(cp["hn"]["kernel"])) + _t(cp["hn"]["bias"]))
+            )
+            new_h = (1.0 - z) * n + z * hh
+            alive = tf.cast(t < nf_t, tf.float32)[:, None]
+            hh = alive * new_h + (1 - alive) * hh
+            outs.append(alive * new_h)
+        seq = tf.stack(outs, axis=1)
+    return _tf_moe_reference(hh, r, m).numpy()
+
+
+def test_gap_parity_gru(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_gru"))
+    data = os.path.join(root, "val_gru.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=17,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **GRU_FLAGS)
+    ckpt = _train_and_export(
+        "GruModel", data, os.path.join(root, "gru.ckpt"), mcfg, reader,
+        frame_features=True, steps=60, lr=0.05,
+    )
+
+    tf_info = _tf_stack_metrics(_tf_eval_gru(ckpt, x, nf), labels)
+    our_info = _our_stack_metrics(
+        data, ckpt, "GruModel", frame_features=True,
+        feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=GRU_FLAGS,
+    )
+    d = abs(tf_info["gap"] - our_info["gap"])
+    print(
+        f"\nGAP-parity drill [GruModel]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
