@@ -643,3 +643,169 @@ def test_gap_parity_gru(tmp_path_factory):
     )
     assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+
+
+# ---------------------------------------------------------------------------
+# LOUPE-LF variants (NetFV / NetRVLAD / SoftDBoW) — the remaining families
+# ---------------------------------------------------------------------------
+
+LF_FLAGS = dict(
+    iterations=MAXF,
+    sample_random_frames=False,
+    netvlad_hidden_size=16,
+    fv_cluster_size=8,
+    rvlad_cluster_size=8,
+    dbow_cluster_size=16,
+    moe_num_mixtures=2,
+)
+
+
+def _tf_bn(x, r, scope):
+    return (x - tf.constant(r.get_tensor(f"{scope}/moving_mean"))) * tf.math.rsqrt(
+        tf.constant(r.get_tensor(f"{scope}/moving_variance")) + BN_EPS
+    ) * tf.constant(r.get_tensor(f"{scope}/gamma")) + tf.constant(
+        r.get_tensor(f"{scope}/beta")
+    )
+
+
+def _tf_window_sample(x, nf):
+    """train.py l2-normalize + deterministic window (iterations==max_frames
+    ⇒ idx_t = min(t, nf−1)) — same as drill part 1."""
+    x = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    idx = tf.minimum(tf.range(MAXF)[None, :], tf.constant(nf)[:, None] - 1)
+    return tf.gather(x, idx, batch_dims=1)
+
+
+def _tf_lf_assignment(frames, r, scope, k):
+    """softmax(BN(X·cluster_weights)) → [B, F, K] (BN replaces the bias in
+    the default add_batch_norm config, all LOUPE modules)."""
+    acts = tf.matmul(
+        tf.reshape(frames, [-1, FL_D]),
+        tf.constant(r.get_tensor(f"{scope}/cluster_weights")),
+    )
+    acts = _tf_bn(acts, r, f"{scope}/cluster_bn")
+    return tf.reshape(tf.nn.softmax(acts), [-1, MAXF, k])
+
+
+def _tf_lf_tail(pooled, r, m):
+    h = tf.matmul(pooled, tf.constant(r.get_tensor("hidden1_weights"))) + tf.constant(
+        r.get_tensor("hidden1_biases")
+    )
+    gates = tf.matmul(h, tf.constant(r.get_tensor("gating_weights")))
+    gates = _tf_bn(gates, r, "gating_bn")
+    h = h * tf.nn.sigmoid(gates)
+    return _tf_moe_reference(h, r, m).numpy()
+
+
+def _tf_eval_netfv(ckpt, x, nf):
+    """frame_level_models.py#NetFVModelLF: 1st+2nd-order Fisher statistics
+    (video_pooling_modules.py#NetFV transcription, BN'd assignment)."""
+    r = tf.train.load_checkpoint(ckpt)
+    k = LF_FLAGS["fv_cluster_size"]
+    frames = _tf_window_sample(x, nf)
+    frames = _tf_bn(frames, r, "input_bn")
+    scope = "video_FV"
+    cw2 = tf.constant(r.get_tensor(f"{scope}/cluster_weights2"))
+    covar = tf.square(tf.constant(r.get_tensor(f"{scope}/covar_weights"))) + 1e-6
+    activation = _tf_lf_assignment(frames, r, scope, k)
+    a_sum = tf.reduce_sum(activation, -2, keepdims=True)
+    a = tf.multiply(a_sum, cw2)
+    activation_t = tf.transpose(activation, perm=[0, 2, 1])
+    xb = tf.reshape(frames, [-1, MAXF, FL_D])
+    fv1 = tf.transpose(tf.matmul(activation_t, xb), perm=[0, 2, 1])
+    a2 = tf.multiply(a_sum, tf.square(cw2))
+    b2 = tf.multiply(fv1, cw2)
+    fv2 = tf.transpose(tf.matmul(activation_t, tf.square(xb)), perm=[0, 2, 1])
+    fv2 = a2 + fv2 - 2 * b2
+    fv2 = tf.divide(fv2, tf.square(covar))
+    fv2 = tf.subtract(fv2, a_sum)
+    fv2 = tf.nn.l2_normalize(fv2, 1)
+    fv2 = tf.reshape(fv2, [-1, k * FL_D])
+    fv2 = tf.nn.l2_normalize(fv2, 1)
+    fv1 = tf.subtract(fv1, a)
+    fv1 = tf.divide(fv1, covar)
+    fv1 = tf.nn.l2_normalize(fv1, 1)
+    fv1 = tf.reshape(fv1, [-1, k * FL_D])
+    fv1 = tf.nn.l2_normalize(fv1, 1)
+    pooled = tf.concat([fv1, fv2], 1)
+    return _tf_lf_tail(pooled, r, LF_FLAGS["moe_num_mixtures"])
+
+
+def _tf_eval_netrvlad(ckpt, x, nf):
+    """NetRVLAD: residual-less VLAD (no center subtraction)."""
+    r = tf.train.load_checkpoint(ckpt)
+    k = LF_FLAGS["rvlad_cluster_size"]
+    frames = _tf_window_sample(x, nf)
+    frames = _tf_bn(frames, r, "input_bn")
+    activation = _tf_lf_assignment(frames, r, "video_RVLAD", k)
+    activation_t = tf.transpose(activation, perm=[0, 2, 1])
+    xb = tf.reshape(frames, [-1, MAXF, FL_D])
+    vlad = tf.transpose(tf.matmul(activation_t, xb), perm=[0, 2, 1])
+    vlad = tf.nn.l2_normalize(vlad, 1)
+    vlad = tf.reshape(vlad, [-1, k * FL_D])
+    pooled = tf.nn.l2_normalize(vlad, 1)
+    return _tf_lf_tail(pooled, r, LF_FLAGS["moe_num_mixtures"])
+
+
+def _tf_eval_softdbof(ckpt, x, nf):
+    """SoftDBoW: soft-assignment histogram."""
+    r = tf.train.load_checkpoint(ckpt)
+    k = LF_FLAGS["dbow_cluster_size"]
+    frames = _tf_window_sample(x, nf)
+    frames = _tf_bn(frames, r, "input_bn")
+    activation = _tf_lf_assignment(frames, r, "video_DBOW", k)
+    bow = tf.reduce_sum(activation, 1)
+    pooled = tf.nn.l2_normalize(bow, 1)
+    return _tf_lf_tail(pooled, r, LF_FLAGS["moe_num_mixtures"])
+
+
+_LF_EVALS = {
+    "NetFVModelLF": _tf_eval_netfv,
+    "NetRVLADModelLF": _tf_eval_netrvlad,
+    "SoftDbofModelLF": _tf_eval_softdbof,
+}
+
+
+@pytest.fixture(scope="module")
+def lf_drill(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_lf"))
+    data = os.path.join(root, "val_lf.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=19,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **LF_FLAGS)
+    ckpts = {
+        name: _train_and_export(
+            name, data, os.path.join(root, f"{name}.ckpt"), mcfg, reader,
+            frame_features=True, steps=30,
+        )
+        for name in _LF_EVALS
+    }
+    return data, ckpts, x, labels, nf
+
+
+@pytest.mark.parametrize("model_name", sorted(_LF_EVALS))
+def test_gap_parity_lf_variants(lf_drill, model_name):
+    data, ckpts, x, labels, nf = lf_drill
+    tf_info = _tf_stack_metrics(_LF_EVALS[model_name](ckpts[model_name], x, nf), labels)
+    our_info = _our_stack_metrics(
+        data, ckpts[model_name], model_name, frame_features=True,
+        feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=LF_FLAGS,
+    )
+    d = abs(tf_info["gap"] - our_info["gap"])
+    print(
+        f"\nGAP-parity drill [{model_name}]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+    assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
