@@ -809,3 +809,221 @@ def test_gap_parity_lf_variants(lf_drill, model_name):
     assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
     assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
+
+
+# ---------------------------------------------------------------------------
+# FrameLevelLogisticModel + the remaining attention models — the matrix is
+# now literally every reference-lineage model in the zoo
+# ---------------------------------------------------------------------------
+
+
+def _tf_eval_frame_logistic(ckpt, x, nf):
+    """frame_level_models.py#FrameLevelLogisticModel: zero-padded sum over
+    frames / num_frames → sigmoid FC (slim names)."""
+    r = tf.train.load_checkpoint(ckpt)
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)  # pads stay zero
+    pooled = tf.reduce_sum(h, axis=1) / tf.maximum(
+        tf.cast(tf.constant(nf), tf.float32), 1.0
+    )[:, None]
+    logits = tf.matmul(
+        pooled, tf.constant(r.get_tensor("fully_connected/weights"))
+    ) + tf.constant(r.get_tensor("fully_connected/biases"))
+    return tf.nn.sigmoid(logits).numpy()
+
+
+def test_gap_parity_frame_logistic(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_fll"))
+    data = os.path.join(root, "val_fll.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=23,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V)
+    ckpt = _train_and_export(
+        "FrameLevelLogisticModel", data, os.path.join(root, "fll.ckpt"),
+        mcfg, reader, frame_features=True, steps=40, lr=0.05,
+    )
+    tf_info = _tf_stack_metrics(_tf_eval_frame_logistic(ckpt, x, nf), labels)
+    our_info = _our_stack_metrics(
+        data, ckpt, "FrameLevelLogisticModel", frame_features=True,
+        feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+    )
+    d = abs(tf_info["gap"] - our_info["gap"])
+    print(
+        f"\nGAP-parity drill [FrameLevelLogisticModel]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e})"
+    )
+    assert tf_info["gap"] > 0.2
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+
+
+def _tf_mha_generic(xq, xkv, p, mask):
+    """flax MultiHeadDotProductAttention from checkpoint-tree params."""
+    def _t(a):
+        return tf.constant(np.asarray(a, np.float32))
+
+    head_dim = np.asarray(p["query"]["kernel"]).shape[-1]
+    q = tf.einsum("bqd,dhk->bqhk", xq, _t(p["query"]["kernel"])) + _t(p["query"]["bias"])
+    k = tf.einsum("bsd,dhk->bshk", xkv, _t(p["key"]["kernel"])) + _t(p["key"]["bias"])
+    v = tf.einsum("bsd,dhk->bshk", xkv, _t(p["value"]["kernel"])) + _t(p["value"]["bias"])
+    q = q / np.float32(np.sqrt(head_dim))
+    logits = tf.einsum("bqhk,bshk->bhqs", q, k)
+    logits = tf.where(mask, logits, tf.fill(tf.shape(logits), np.float32(-1e9)))
+    w = tf.nn.softmax(logits, axis=-1)
+    out = tf.einsum("bhqs,bshk->bqhk", w, v)
+    return tf.einsum("bqhk,hkd->bqd", out, _t(p["out"]["kernel"])) + _t(p["out"]["bias"])
+
+
+def _tf_encoder_from_tree(h, tree, n_layers, pad_mask):
+    def _t(a):
+        return tf.constant(np.asarray(a, np.float32))
+
+    attn_mask = tf.cast(pad_mask, tf.bool)[:, None, None, :] & tf.fill(
+        (1, 1, int(h.shape[1]), 1), True
+    )
+    for i in range(n_layers):
+        lp = tree["encoder"][f"layer_{i}"]
+        attn = _tf_mha_generic(h, h, lp["mha"], attn_mask)
+        h = _tf_ln(h + attn, lp["ln1"])
+        ff = tf.nn.relu(tf.matmul(h, _t(lp["ff1"]["kernel"])) + _t(lp["ff1"]["bias"]))
+        ff = tf.matmul(ff, _t(lp["ff2"]["kernel"])) + _t(lp["ff2"]["bias"])
+        h = _tf_ln(h + ff, lp["ln2"])
+    return h
+
+
+def _tf_ln(x, p):
+    mean = tf.reduce_mean(x, axis=-1, keepdims=True)
+    var = tf.reduce_mean(tf.square(x), axis=-1, keepdims=True) - tf.square(mean)
+    return (x - mean) * tf.math.rsqrt(var + LN_EPS) * tf.constant(
+        np.asarray(p["scale"], np.float32)
+    ) + tf.constant(np.asarray(p["bias"], np.float32))
+
+
+ATTN2_FLAGS = dict(
+    attention_hidden_size=16,
+    attention_heads=2,
+    transformer_layers=2,
+    transformer_ff_size=24,
+    attention_cluster_size=3,
+    netvlad_cluster_size=4,
+    netvlad_hidden_size=16,
+    moe_num_mixtures=2,
+)
+
+
+def _tf_eval_attention_pooling(ckpt, x, nf):
+    """attention.py#AttentionPoolingModel: learned-query MHA pooling →
+    concat → gated tail."""
+    tree = _ckpt_tree(ckpt)
+    r = tf.train.load_checkpoint(ckpt)
+    pad_mask = (np.arange(MAXF)[None, :] < nf[:, None]).astype(np.float32)
+    b = x.shape[0]
+
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    h = tf.matmul(h, tf.constant(tree["input_proj"]["kernel"])) + tf.constant(
+        tree["input_proj"]["bias"]
+    )
+    q_param = np.asarray(tree["attn_pool"]["queries"], np.float32)
+    nq = q_param.shape[0]
+    q = tf.tile(tf.constant(q_param)[None], [b, 1, 1])
+    attn_mask = tf.cast(tf.constant(pad_mask), tf.bool)[:, None, None, :] & tf.fill(
+        (1, 1, nq, 1), True
+    )
+    pooled = _tf_mha_generic(q, h, tree["attn_pool"]["pool_mha"], attn_mask)
+    pooled = tf.reshape(pooled, [b, nq * ATTN2_FLAGS["attention_hidden_size"]])
+    return _tf_lf_tail(pooled, r, ATTN2_FLAGS["moe_num_mixtures"])
+
+
+def _tf_eval_attention_netvlad(ckpt, x, nf):
+    """attention.py#AttentionNetVLADModel: encoder → mask-zero → NetVLAD
+    (BN'd assignment) → gated tail."""
+    tree = _ckpt_tree(ckpt)
+    r = tf.train.load_checkpoint(ckpt)
+    d = ATTN2_FLAGS["attention_hidden_size"]
+    k = ATTN2_FLAGS["netvlad_cluster_size"]
+    pad_mask = (np.arange(MAXF)[None, :] < nf[:, None]).astype(np.float32)
+
+    h = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    h = tf.matmul(h, tf.constant(tree["input_proj"]["kernel"])) + tf.constant(
+        tree["input_proj"]["bias"]
+    )
+    h = _tf_encoder_from_tree(
+        h, tree, ATTN2_FLAGS["transformer_layers"], tf.constant(pad_mask)
+    )
+    h = h * tf.constant(pad_mask)[:, :, None]
+
+    vp = tree["vlad"]
+    acts = tf.matmul(tf.reshape(h, [-1, d]), tf.constant(vp["cluster_weights"]))
+    acts = (acts - tf.constant(vp["cluster_bn"]["moving_mean"])) * tf.math.rsqrt(
+        tf.constant(vp["cluster_bn"]["moving_variance"]) + BN_EPS
+    ) * tf.constant(vp["cluster_bn"]["gamma"]) + tf.constant(
+        vp["cluster_bn"]["beta"]
+    )
+    acts = tf.reshape(tf.nn.softmax(acts), [-1, MAXF, k])
+    a_sum = tf.reduce_sum(acts, -2, keepdims=True)
+    a = a_sum * tf.constant(np.asarray(vp["cluster_weights2"], np.float32))
+    vlad = tf.matmul(tf.transpose(acts, [0, 2, 1]), tf.reshape(h, [-1, MAXF, d]))
+    vlad = tf.transpose(vlad, [0, 2, 1]) - a
+    vlad = tf.nn.l2_normalize(vlad, 1)
+    vlad = tf.reshape(vlad, [-1, k * d])
+    pooled = tf.nn.l2_normalize(vlad, 1)
+    return _tf_lf_tail(pooled, r, ATTN2_FLAGS["moe_num_mixtures"])
+
+
+_ATTN2_EVALS = {
+    "AttentionPoolingModel": _tf_eval_attention_pooling,
+    "AttentionNetVLADModel": _tf_eval_attention_netvlad,
+}
+
+
+@pytest.fixture(scope="module")
+def attn2_drill(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_attn2"))
+    data = os.path.join(root, "val_attn2.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=29,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **ATTN2_FLAGS)
+    ckpts = {
+        name: _train_and_export(
+            name, data, os.path.join(root, f"{name}.ckpt"), mcfg, reader,
+            frame_features=True, steps=45,
+        )
+        for name in _ATTN2_EVALS
+    }
+    return data, ckpts, x, labels, nf
+
+
+@pytest.mark.parametrize("model_name", sorted(_ATTN2_EVALS))
+def test_gap_parity_attention_models(attn2_drill, model_name):
+    data, ckpts, x, labels, nf = attn2_drill
+    tf_info = _tf_stack_metrics(
+        _ATTN2_EVALS[model_name](ckpts[model_name], x, nf), labels
+    )
+    our_info = _our_stack_metrics(
+        data, ckpts[model_name], model_name, frame_features=True,
+        feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=ATTN2_FLAGS,
+    )
+    d = abs(tf_info["gap"] - our_info["gap"])
+    print(
+        f"\nGAP-parity drill [{model_name}]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
