@@ -1027,3 +1027,93 @@ def test_gap_parity_attention_models(attn2_drill, model_name):
     )
     assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+
+
+# ---------------------------------------------------------------------------
+# NeXtVLADModel — the 14th model: the matrix is complete
+# ---------------------------------------------------------------------------
+
+NXV_FLAGS = dict(
+    iterations=MAXF,
+    sample_random_frames=False,
+    netvlad_hidden_size=16,
+    nextvlad_cluster_size=8,
+    nextvlad_groups=8,
+    moe_num_mixtures=2,
+)
+
+
+def _tf_eval_nextvlad(ckpt, x, nf):
+    """NeXtVLADModel (arXiv:1811.05014 transcription, modules.py#NeXtVLAD):
+    expansion → group attention × grouped soft assignment (BN'd) → residual
+    aggregation → intra-ℓ2 → vlad BN → gated tail."""
+    tree = _ckpt_tree(ckpt)
+    r = tf.train.load_checkpoint(ckpt)
+    g, k = NXV_FLAGS["nextvlad_groups"], NXV_FLAGS["nextvlad_cluster_size"]
+    lam_d = 2 * FL_D
+    dp = lam_d // g
+    vp = tree["NeXtVLAD_0"]
+
+    def _t(a):
+        return tf.constant(np.asarray(a, np.float32))
+
+    def _bn_tree(z, bnp):
+        return (z - _t(bnp["moving_mean"])) * tf.math.rsqrt(
+            _t(bnp["moving_variance"]) + BN_EPS
+        ) * _t(bnp["gamma"]) + _t(bnp["beta"])
+
+    frames = _tf_window_sample(x, nf)
+    frames = _tf_bn(frames, r, "input_bn")
+    b = frames.shape[0]
+
+    xt = tf.einsum("bfd,de->bfe", frames, _t(vp["expansion_weights"]))
+    alpha = tf.sigmoid(
+        tf.einsum("bfe,eg->bfg", xt, _t(vp["group_attention_weights"]))
+    )
+    logits = tf.einsum("bfe,ec->bfc", xt, _t(vp["cluster_weights"]))
+    logits = _bn_tree(logits, vp["cluster_bn"])
+    logits = tf.reshape(logits, [b, MAXF, g, k])
+    assign = tf.nn.softmax(logits, axis=-1) * alpha[..., None]
+
+    xg = tf.reshape(xt, [b, MAXF, g, dp])
+    agg = tf.einsum("bfgk,bfgd->bkd", assign, xg)
+    a_sum = tf.reduce_sum(assign, axis=[1, 2])
+    vlad = agg - a_sum[:, :, None] * _t(vp["cluster_weights2"])[None]
+    vlad = tf.nn.l2_normalize(vlad, axis=-1)
+    vlad = tf.reshape(vlad, [b, k * dp])
+    vlad = _bn_tree(vlad, vp["vlad_bn"])
+    return _tf_lf_tail(vlad, r, NXV_FLAGS["moe_num_mixtures"])
+
+
+def test_gap_parity_nextvlad(tmp_path_factory):
+    from learnablepoolingmethods_tpu.data import readers
+
+    root = str(tmp_path_factory.mktemp("gapdrill_nxv"))
+    data = os.path.join(root, "val_nxv.tfrecord")
+    make_learnable_synthetic_frame_level(
+        data, num_videos=FL_N, num_classes=V, rgb_size=FL_RGB,
+        audio_size=FL_AUD, max_frames=MAXF, seed=31,
+    )
+    x, labels, nf = _tf_parse_frame_level(data)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=V, feature_sizes=(FL_RGB, FL_AUD),
+        feature_names=("rgb", "audio"), max_frames=MAXF,
+    )
+    mcfg = ModelConfig(vocab_size=V, **NXV_FLAGS)
+    ckpt = _train_and_export(
+        "NeXtVLADModel", data, os.path.join(root, "nxv.ckpt"), mcfg, reader,
+        frame_features=True, steps=35,
+    )
+    tf_info = _tf_stack_metrics(_tf_eval_nextvlad(ckpt, x, nf), labels)
+    our_info = _our_stack_metrics(
+        data, ckpt, "NeXtVLADModel", frame_features=True,
+        feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+        extra_flags=NXV_FLAGS,
+    )
+    d = abs(tf_info["gap"] - our_info["gap"])
+    print(
+        f"\nGAP-parity drill [NeXtVLADModel]: TF={tf_info['gap']:.6f} "
+        f"ours={our_info['gap']:.6f} (Δ={d:.2e})"
+    )
+    assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
+    assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
