@@ -1,0 +1,229 @@
+"""EXPERIMENT: key-block-skipping attention kernel (ROADMAP item 2).
+
+Hypothesis: bench/eval batches draw num_frames ~ U[10, 300] (mean ~155), so
+on average only ~1.74 of the 3 key blocks (128-wide) per video hold any
+valid key.  The current kernel (ops/fast_transformer.py#_attention_kernel)
+computes the full [F, F] logits for every video; guarding each key block's
+QK^T dot, exp, and weights*V dot on `num_frames > block_start` (a scalar
+branch in Mosaic) should skip ~40% of the attention core's MXU+VPU work at
+zero accuracy cost (skipped blocks contribute exp(-1e9-max) == 0 exactly
+in f32, identical to the dense path).
+
+Run CPU first (interpret-mode parity), then on the TPU for timing:
+  JAX_PLATFORMS=cpu python tools/exp_attn_blockskip.py --cpu
+  python tools/exp_attn_blockskip.py
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import functools
+
+import numpy as np
+
+BLOCK = 128
+
+
+def _skip_kernel(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
+    import jax
+    import jax.numpy as jnp
+
+    _, f, dm3 = qkv_ref.shape
+    dm = dm3 // 3
+    hd = dm // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    nf = nf_ref[0]
+    neg = (1.0 - mask_ref[0]) * -1e9  # [1, F]
+    starts = list(range(0, f, BLOCK))
+
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * hd : (h + 1) * hd]
+
+        lblks = []
+        for s in starts:
+            sz = min(BLOCK, f - s)
+
+            def compute(q=q, s=s, sz=sz, h=h):
+                k = qkv_ref[0, s : s + sz, dm + h * hd : dm + (h + 1) * hd]
+                return (
+                    jax.lax.dot_general(
+                        q, k, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + neg[:, s : s + sz]
+                )
+
+            if s == 0:
+                lblks.append(compute())
+            else:
+                lblks.append(
+                    jax.lax.cond(
+                        nf > s,
+                        compute,
+                        lambda sz=sz: jnp.full((f, sz), -1e9, jnp.float32),
+                    )
+                )
+
+        mx = functools.reduce(
+            jnp.maximum, [jnp.max(lb, -1, keepdims=True) for lb in lblks]
+        )
+
+        eblks = []
+        for s, lb in zip(starts, lblks):
+            sz = min(BLOCK, f - s)
+            if s == 0:
+                eblks.append(jnp.exp(lb - mx))
+            else:
+                eblks.append(
+                    jax.lax.cond(
+                        nf > s,
+                        lambda lb=lb: jnp.exp(lb - mx),
+                        lambda sz=sz: jnp.zeros((f, sz), jnp.float32),
+                    )
+                )
+
+        inv = 1.0 / functools.reduce(
+            jnp.add, [jnp.sum(e, -1, keepdims=True) for e in eblks]
+        )
+
+        acc = None
+        for s, e in zip(starts, eblks):
+            sz = min(BLOCK, f - s)
+
+            def wv(s=s, sz=sz, h=h, e=e):
+                v = qkv_ref[0, s : s + sz, 2 * dm + h * hd : 2 * dm + (h + 1) * hd]
+                return jax.lax.dot_general(
+                    (e * inv).astype(v.dtype), v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            c = (
+                wv()
+                if s == 0
+                else jax.lax.cond(
+                    nf > s, wv, lambda: jnp.zeros((f, hd), jnp.float32)
+                )
+            )
+            acc = c if acc is None else acc + c
+        out_ref[0, :, h * hd : (h + 1) * hd] = acc.astype(out_ref.dtype)
+
+
+def masked_attention_skip(qkv, num_frames, mask, num_heads, interpret=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, f, dm3 = qkv.shape
+    dm = dm3 // 3
+    spec_nf = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    spec_in = pl.BlockSpec((1, f, dm3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_m = pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, f, dm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(_skip_kernel, num_heads=num_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[spec_nf, spec_in, spec_m],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((b, f, dm), qkv.dtype),
+        interpret=interpret,
+    )(
+        num_frames.astype(jnp.int32),
+        qkv,
+        mask.astype(jnp.float32)[:, None, :],
+    )
+
+
+def main():
+    cpu = "--cpu" in sys.argv
+    if cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from learnablepoolingmethods_tpu.ops.fast_transformer import (
+        masked_attention_fused,
+    )
+
+    B, F, D, H = (16, 300, 1024, 8) if cpu else (256, 300, 1024, 8)
+    rng = np.random.default_rng(0)
+    qkv_np = rng.normal(0, 1, (B, F, 3 * D)).astype(np.float32)
+    nf_np = rng.integers(10, F + 1, (B,)).astype(np.int32)
+    mask_np = (np.arange(F)[None] < nf_np[:, None]).astype(np.float32)
+
+    if cpu:
+        qkv = jnp.asarray(qkv_np)
+        nf = jnp.asarray(nf_np)
+        mask = jnp.asarray(mask_np)
+        ref = masked_attention_fused(qkv, mask, H, interpret=True)
+        got = masked_attention_skip(qkv, nf, mask, H, interpret=True)
+        # compare only valid query rows (pad rows are don't-care downstream)
+        r = np.asarray(ref, np.float32)
+        g = np.asarray(got, np.float32)
+        err = 0.0
+        for i in range(B):
+            err = max(
+                err, float(np.max(np.abs(r[i, : nf_np[i]] - g[i, : nf_np[i]])))
+            )
+        print(f"interpret parity: max |diff| on valid rows = {err:.3e}")
+        assert err <= 2e-6, err
+        # nf == F edge (all blocks live)
+        nf_full = jnp.full((B,), F, jnp.int32)
+        m_full = jnp.ones((B, F), jnp.float32)
+        r2 = masked_attention_fused(qkv, m_full, H, interpret=True)
+        g2 = masked_attention_skip(qkv, nf_full, m_full, H, interpret=True)
+        e2 = float(jnp.max(jnp.abs(r2 - g2)))
+        print(f"interpret parity (nf=F): {e2:.3e}")
+        assert e2 <= 2e-6, e2
+        print("CPU parity OK")
+        return
+
+    from _bench_util import timeit
+
+    qkv = jax.device_put(jnp.asarray(qkv_np, jnp.bfloat16))
+    nf = jax.device_put(jnp.asarray(nf_np))
+    mask = jax.device_put(jnp.asarray(mask_np))
+
+    dense = jax.jit(
+        lambda dep, qkv, m: masked_attention_fused(
+            qkv + dep.astype(jnp.bfloat16), m, H
+        )
+    )
+    t = timeit(lambda dep: dense(dep, qkv, mask))
+    print(f"dense kernel  (nf~U[10,300]): {t*1e3:.2f} ms/layer")
+
+    skip = jax.jit(
+        lambda dep, qkv, n, m: masked_attention_skip(
+            qkv + dep.astype(jnp.bfloat16), n, m, H
+        )
+    )
+    t = timeit(lambda dep: skip(dep, qkv, nf, mask))
+    print(f"skip kernel   (nf~U[10,300]): {t*1e3:.2f} ms/layer")
+
+    # on-chip parity spot check (bf16)
+    r = np.asarray(dense(jnp.zeros((), jnp.float32), qkv, mask), np.float32)
+    g = np.asarray(
+        skip(jnp.zeros((), jnp.float32), qkv, nf, mask), np.float32
+    )
+    err = 0.0
+    for i in range(B):
+        err = max(err, float(np.max(np.abs(r[i, : nf_np[i]] - g[i, : nf_np[i]]))))
+    print(f"on-chip parity (bf16, valid rows): {err:.3e}")
+
+    nf_full = jax.device_put(jnp.full((B,), F, jnp.int32))
+    m_full = jax.device_put(jnp.ones((B, F), jnp.float32))
+    t = timeit(lambda dep: dense(dep, qkv, m_full))
+    print(f"dense kernel  (nf=300 worst): {t*1e3:.2f} ms/layer")
+    t = timeit(lambda dep: skip(dep, qkv, nf_full, m_full))
+    print(f"skip kernel   (nf=300 worst): {t*1e3:.2f} ms/layer")
+
+
+if __name__ == "__main__":
+    main()
