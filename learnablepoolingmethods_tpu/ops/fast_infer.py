@@ -114,6 +114,12 @@ def prepare_fast_params(
         )
     p = variables["params"]
     s = variables["batch_stats"]
+    if "NetVLAD_1" not in p:
+        raise ValueError(
+            "fast NetVLAD path supports the two-modality (rgb+audio) "
+            "layout; this checkpoint has a single pooling module "
+            "(feature_size <= 128) — use the flax forward"
+        )
     ct = compute_dtype
     k_rgb = mcfg.netvlad_cluster_size
 

@@ -46,41 +46,78 @@ def sample_indices(rng, num_frames, max_frames: int, num_samples: int):
                        max_frames - 1)
 
 
-def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int):
+FRAME_BLOCK = 128
+
+
+def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
+                 block_skip: bool = False):
     def kernel(
-        x_ref,        # [1, F, DT] uint8
-        idx_ref,      # [1, 1, S] int32
-        in_scale_ref,  # [1, DT] f32 folded input-BN scale
-        in_bias_ref,   # [1, DT] f32 folded input-BN bias
-        c_rgb_ref,    # [d_rgb, k_rgb] bf16
-        s_rgb_ref,    # [1, k_rgb] f32
-        b_rgb_ref,    # [1, k_rgb] f32
-        c2_rgb_ref,   # [d_rgb, k_rgb] f32
-        c_aud_ref,    # [d_aud, k_aud] bf16
-        s_aud_ref,    # [1, k_aud] f32
-        b_aud_ref,    # [1, k_aud] f32
-        c2_aud_ref,   # [d_aud, k_aud] f32
-        out_rgb_ref,  # [1, d_rgb, k_rgb] bf16
-        out_aud_ref,  # [1, d_aud, k_aud] bf16
+        *refs,
+        # with block_skip an extra leading nf_ref ([1] int32, SMEM) is
+        # prepended to the argument list
     ):
-        xq = x_ref[0]  # [F, DT] uint8
-        f, dt = xq.shape
+        if block_skip:
+            nf_ref, x_ref = refs[0], refs[1]
+            rest = refs[2:]
+        else:
+            x_ref = refs[0]
+            rest = refs[1:]
+        (
+            idx_ref,      # [1, 1, S] int32
+            in_scale_ref,  # [1, DT] f32 folded input-BN scale
+            in_bias_ref,   # [1, DT] f32 folded input-BN bias
+            c_rgb_ref,    # [d_rgb, k_rgb] bf16
+            s_rgb_ref,    # [1, k_rgb] f32
+            b_rgb_ref,    # [1, k_rgb] f32
+            c2_rgb_ref,   # [d_rgb, k_rgb] f32
+            c_aud_ref,    # [d_aud, k_aud] bf16
+            s_aud_ref,    # [1, k_aud] f32
+            b_aud_ref,    # [1, k_aud] f32
+            c2_aud_ref,   # [d_aud, k_aud] f32
+            out_rgb_ref,  # [1, d_rgb, k_rgb] bf16
+            out_aud_ref,  # [1, d_aud, k_aud] bf16
+        ) = rest
+        f, dt = x_ref.shape[1], x_ref.shape[2]
         s = idx_ref.shape[-1]
 
-        # dequantize + per-frame ℓ2 norm + folded input BN
-        # (Mosaic has no direct uint8→f32 cast; hop through int32)
-        xf = xq.astype(jnp.int32).astype(jnp.float32) * DEQ_SCALE + DEQ_BIAS
-        row_sq = jnp.sum(xf * xf, axis=1, keepdims=True)
-        xf = xf * jax.lax.rsqrt(jnp.maximum(row_sq, 1e-12))
-        xf = xf * in_scale_ref[...] + in_bias_ref[...]
-        xb = xf.astype(jnp.bfloat16)
+        def pipeline_block(s0, sz):
+            """dequant + per-frame ℓ2 + folded BN + one-hot partial matmul
+            for frame rows [s0, s0+sz) — rows are independent, so the split
+            is exact; each sampled row draws its value from exactly one
+            block and every other block contributes an exact f32 zero."""
+            xq = x_ref[0, s0 : s0 + sz, :]  # [sz, DT] uint8
+            # (Mosaic has no direct uint8→f32 cast; hop through int32)
+            xf = xq.astype(jnp.int32).astype(jnp.float32) * DEQ_SCALE + DEQ_BIAS
+            row_sq = jnp.sum(xf * xf, axis=1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(jnp.maximum(row_sq, 1e-12))
+            xf = xf * in_scale_ref[...] + in_bias_ref[...]
+            xb = xf.astype(jnp.bfloat16)
+            # sampling as a one-hot matmul: P [S, sz] @ X [sz, DT]
+            frame_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (s, sz), 1) + s0
+            )
+            p = (frame_ids == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
+            return jnp.dot(p, xb, preferred_element_type=jnp.float32)
 
-        # sampling as a one-hot matmul: P [S, F] @ X [F, DT]
-        frame_ids = jax.lax.broadcasted_iota(jnp.int32, (s, f), 1)
-        p = (frame_ids == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
-        xs = jnp.dot(p, xb, preferred_element_type=jnp.float32).astype(
-            jnp.bfloat16
-        )  # [S, DT] (MXU accumulators are 32-bit)
+        if block_skip:
+            # sample_indices guarantees idx < num_frames, so frame blocks
+            # at or past num_frames are never sampled — skip their VPU
+            # dequant/ℓ2/BN passes and MXU partial entirely (bit-exact:
+            # the skipped partials are exact zeros).  Block 0 always runs.
+            nf = nf_ref[0]
+            acc = pipeline_block(0, min(FRAME_BLOCK, f))
+            for s0 in range(FRAME_BLOCK, f, FRAME_BLOCK):
+                sz = min(FRAME_BLOCK, f - s0)
+                acc = acc + jax.lax.cond(
+                    nf > s0,
+                    functools.partial(pipeline_block, s0, sz),
+                    lambda: jnp.zeros((s, dt), jnp.float32),
+                )
+            xs = acc.astype(jnp.bfloat16)  # [S, DT]
+        else:
+            xs = pipeline_block(0, f).astype(
+                jnp.bfloat16
+            )  # [S, DT] (MXU accumulators are 32-bit)
 
         def netvlad(x_mod, c_ref, sc_ref, bi_ref, c2_ref, out_ref):
             logits = (
@@ -117,6 +154,9 @@ def netvlad_frontend_fused(
     in_bias,    # [DT] folded input-BN bias
     c_rgb, s_rgb, b_rgb, c2_rgb,   # rgb NetVLAD consts
     c_aud, s_aud, b_aud, c2_aud,   # audio NetVLAD consts
+    num_frames=None,  # optional [B] int32: rows ≥ num_frames[i] are never
+                      # sampled (sample_indices guarantee) → their 128-row
+                      # frame blocks are skipped, bit-exactly
     *,
     interpret: bool = False,
 ):
@@ -127,13 +167,25 @@ def netvlad_frontend_fused(
     d_aud, k_aud = c_aud.shape
     assert d_rgb + d_aud == dt, (d_rgb, d_aud, dt)
 
-    kernel = _make_kernel(d_rgb, k_rgb, d_aud, k_aud)
+    block_skip = num_frames is not None
+    kernel = _make_kernel(d_rgb, k_rgb, d_aud, k_aud, block_skip=block_skip)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+
+    skip_specs = (
+        [pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)]
+        if block_skip
+        else []
+    )
+    skip_args = (
+        [jnp.minimum(jnp.asarray(num_frames, jnp.int32).reshape(b), f)]
+        if block_skip
+        else []
+    )
 
     out_rgb, out_aud = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
+        in_specs=skip_specs + [
             pl.BlockSpec((1, f, dt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dt), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -162,6 +214,7 @@ def netvlad_frontend_fused(
         ),
         interpret=interpret,
     )(
+        *skip_args,
         x_u8,
         idx.reshape(b, 1, s),
         row(in_scale),

@@ -159,6 +159,23 @@ def test_fast_path_rejects_non_moe_classifier(rng):
         prepare_fast_params(variables, cfg, compute_dtype=jnp.float32)
 
 
+def test_fast_path_rejects_single_modality_layout(rng):
+    """feature_size <= 128 builds a SINGLE NetVLAD module (no rgb/audio
+    split, frame_level.py) — the fast path's two-modality layout cannot
+    apply and must raise a clean ValueError, not KeyError('NetVLAD_1')."""
+    import pytest
+
+    model = create_model("NetVLADModelLF", CFG)
+    feats_u8 = rng.integers(0, 256, size=(2, 6, 40), dtype=np.uint8)
+    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        x, num_frames=jnp.asarray([6, 6]), training=True,
+    )
+    with pytest.raises(ValueError, match="two-modality"):
+        prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)
+
+
 def test_fast_path_return_probs(rng):
     model, variables, feats_u8, nf = _setup(rng)
     fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.float32)
