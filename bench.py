@@ -49,6 +49,7 @@ def bench(
     iters: int = 32,
     use_pallas: bool = True,
     int8_hidden: bool = False,
+    frontend_block_skip: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -79,7 +80,12 @@ def bench(
             int8_hidden=int8_hidden,
         )
     )
-    predict = jax.jit(build_fast_netvlad_inference(cfg, top_k=20, use_pallas=use_pallas))
+    predict = jax.jit(
+        build_fast_netvlad_inference(
+            cfg, top_k=20, use_pallas=use_pallas,
+            frontend_block_skip=frontend_block_skip,
+        )
+    )
 
     features = jax.device_put(
         rng.integers(0, 256, size=(batch, 300, 1152), dtype=np.uint8)
