@@ -31,8 +31,13 @@ def main():
     feats_d, nf_d = jax.device_put(feats), jax.device_put(nf)
 
     fp = jax.device_put(prepare_fast_transformer_params(variables, CFG))
-    for use_pallas, label in ((True, "pallas-attn"), (False, "xla-attn")):
-        fast = jax.jit(build_fast_transformer_inference(CFG, top_k=20, use_pallas=use_pallas))
+    arms = (
+        (dict(use_pallas=True), "pallas-attn"),
+        (dict(use_pallas=True, block_skip=True), "pallas-attn+block-skip"),
+        (dict(use_pallas=False), "xla-attn"),
+    )
+    for kw, label in arms:
+        fast = jax.jit(build_fast_transformer_inference(CFG, top_k=20, **kw))
         t = timeit(lambda dep: fast(fp, feats_d, nf_d + dep.astype(jnp.int32), None))
         print(f"fast path ({label}): {t*1e3:.2f} ms  ({B/t:,.0f} videos/s) @ B={B}")
 
