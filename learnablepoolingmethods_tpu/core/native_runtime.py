@@ -77,7 +77,7 @@ def _gxx_cmd(output: str, sources, shared: bool):
     tf_root = _tf_root()
     inc = os.path.join(tf_root, "include")
     return [
-        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG",
+        "g++", "-std=c++17", "-O2", "-w", "-DNDEBUG", "-pthread",
         *(["-shared", "-fPIC"] if shared else []),
         "-o", output, *sources,
         "-I" + _STUB,

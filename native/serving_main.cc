@@ -16,9 +16,14 @@
 // serving_default) — the whole request path is native: socket → proto
 // parse → PJRT execute → JSON.
 //
-// Threading: single accept loop, one request at a time (the compiled
-// module is single-stream; concurrency belongs in a fronting LB, exactly
-// as serving.py documents).  --check loads everything, runs one zero
+// Threading (the C++ twin of serving.py#BatchingQueue): one detached
+// handler thread per connection does the socket I/O and record unframing
+// and never touches the model; a single executor thread owns the compiled
+// module, coalesces concurrent requests up to the compiled batch size
+// (lingering 2 ms for stragglers, like the Python queue's max_delay_ms),
+// executes ONE padded device batch, and sends each request its slice.
+// GET /statz reports {"requests", "executes", "rows", "coalesced"} so
+// coalescing is observable.  --check loads everything, runs one zero
 // batch, prints the first scores and exits — the smoke gate tests use.
 
 #include <arpa/inet.h>
@@ -28,11 +33,18 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 
 // --- extern C APIs from the sibling translation units ----------------------
@@ -265,105 +277,138 @@ struct Server {
     return true;
   }
 
+  size_t RowBytes() const {
+    return m.frame_features
+               ? static_cast<size_t>(m.max_frames) * total_size
+               : sizeof(float) * total_size;
+  }
+
+  // parse one serialized record into batch row `i` of the input scratch
+  bool ParseOne(const uint8_t* rec, int64_t len, int32_t i,
+                std::string* err) {
+    uint8_t* row = in_bufs[0].data() + i * RowBytes();
+    if (m.frame_features) {
+      int32_t nf = 0;
+      if (lpm_parse_frame_record(rec, len, m.max_frames,
+                                 m.feature_sizes.data(),
+                                 m.feature_sizes.size(),
+                                 names_packed.c_str(), row, &nf) != 0) {
+        *err = "malformed record";
+        return false;
+      }
+      if (in_bufs.size() > 1)
+        reinterpret_cast<int32_t*>(in_bufs[1].data())[i] = nf;
+    } else {
+      if (lpm_parse_video_record(rec, len, m.feature_sizes.data(),
+                                 m.feature_sizes.size(),
+                                 names_packed.c_str(),
+                                 reinterpret_cast<float*>(row)) != 0) {
+        *err = "malformed record";
+        return false;
+      }
+    }
+    return true;
+  }
+
+  // pad rows [n_used, B) by duplicating row src (the compiled batch is
+  // fixed-size; extra rows are discarded after execution)
+  void PadRows(int32_t n_used, int32_t src) {
+    const size_t rb = RowBytes();
+    for (int32_t i = n_used; i < m.batch_size; i++) {
+      memcpy(in_bufs[0].data() + i * rb, in_bufs[0].data() + src * rb, rb);
+      if (m.frame_features && in_bufs.size() > 1) {
+        reinterpret_cast<int32_t*>(in_bufs[1].data())[i] =
+            reinterpret_cast<int32_t*>(in_bufs[1].data())[src];
+      }
+    }
+  }
+
+  // one PJRT execution over the packed input scratch → output scratch
+  bool ExecuteOnce(std::string* err) {
+    char errbuf[4096] = {0};
+    std::vector<const void*> data(in_bufs.size());
+    std::vector<int32_t> dtypes(in_bufs.size()), ndims(in_bufs.size());
+    std::vector<int64_t> dims;
+    for (size_t i = 0; i < in_bufs.size(); i++) {
+      data[i] = in_bufs[i].data();
+      dtypes[i] = m.call_inputs[i].dtype;
+      ndims[i] = m.call_inputs[i].dims.size();
+      dims.insert(dims.end(), m.call_inputs[i].dims.begin(),
+                  m.call_inputs[i].dims.end());
+    }
+    std::vector<void*> outs(out_bufs.size());
+    std::vector<int64_t> out_bytes(out_bufs.size());
+    for (size_t i = 0; i < out_bufs.size(); i++) {
+      outs[i] = out_bufs[i].data();
+      out_bytes[i] = out_bufs[i].size();
+    }
+    if (shr_execute(handle, data.size(), data.data(), dtypes.data(),
+                    dims.data(), ndims.data(), outs.size(), outs.data(),
+                    out_bytes.data(), errbuf, sizeof(errbuf)) != 0) {
+      *err = errbuf;
+      return false;
+    }
+    return true;
+  }
+
+  // JSON entries for batch rows [row_start, row_start+n) with request-local
+  // video_index values [idx_base, idx_base+n); appends to *json
+  void FormatRows(std::string* json, int32_t row_start, size_t n,
+                  size_t idx_base, bool* first) const {
+    const int32_t k = m.top_k;
+    const float* values = reinterpret_cast<const float*>(out_bufs[0].data());
+    const int32_t* indices =
+        reinterpret_cast<const int32_t*>(out_bufs[1].data());
+    char num[64];
+    for (size_t i = 0; i < n; i++) {
+      if (!*first) *json += ", ";
+      *first = false;
+      snprintf(num, sizeof(num), "{\"video_index\": %zu, \"classes\": [",
+               idx_base + i);
+      *json += num;
+      const size_t r = row_start + i;
+      for (int32_t j = 0; j < k; j++) {
+        snprintf(num, sizeof(num), "%s%d", j ? ", " : "",
+                 indices[r * k + j]);
+        *json += num;
+      }
+      *json += "], \"scores\": [";
+      for (int32_t j = 0; j < k; j++) {
+        float v = values[r * k + j];
+        // JSON has no NaN/Inf; a diverged checkpoint must not emit an
+        // unparseable 200 body — null marks the broken score honestly
+        if (std::isfinite(v)) {
+          snprintf(num, sizeof(num), "%s%.6f", j ? ", " : "", v);
+        } else {
+          snprintf(num, sizeof(num), "%snull", j ? ", " : "");
+        }
+        *json += num;
+      }
+      *json += "]}";
+    }
+  }
+
   // records (spans into the request body) → JSON predictions, or "" + err.
+  // Handles any record count by chunking into batch-size executions (the
+  // solo path; concurrent sub-batch requests go through BatchHub instead).
   std::string Predict(const std::vector<std::pair<const uint8_t*, int64_t>>&
                           records,
                       std::string* err) {
     const int32_t B = m.batch_size;
-    const int32_t k = m.top_k;
-    // in_bufs/out_bufs are member scratch sized at Load(); the record
-    // parsers fully overwrite each row (they memset their own output), so
-    // no per-request clearing is needed
-
     std::string json = "{\"predictions\": [";
-    char errbuf[4096] = {0};
-    const size_t row_bytes = m.frame_features
-                                 ? static_cast<size_t>(m.max_frames) * total_size
-                                 : sizeof(float) * total_size;
-
+    bool first = true;
     for (size_t start = 0; start < records.size();
          start += static_cast<size_t>(B)) {
       size_t n_real = records.size() - start;
       if (n_real > static_cast<size_t>(B)) n_real = B;
-      // parse chunk; pad by repeating the last record's row
-      for (int32_t i = 0; i < B; i++) {
-        size_t r = start + (i < static_cast<int32_t>(n_real)
-                                ? i
-                                : n_real - 1);
-        uint8_t* row = in_bufs[0].data() + i * row_bytes;
-        if (m.frame_features) {
-          int32_t nf = 0;
-          if (lpm_parse_frame_record(records[r].first, records[r].second,
-                                     m.max_frames, m.feature_sizes.data(),
-                                     m.feature_sizes.size(),
-                                     names_packed.c_str(), row, &nf) != 0) {
-            *err = "malformed record";
-            return "";
-          }
-          if (in_bufs.size() > 1)
-            reinterpret_cast<int32_t*>(in_bufs[1].data())[i] = nf;
-        } else {
-          if (lpm_parse_video_record(records[r].first, records[r].second,
-                                     m.feature_sizes.data(),
-                                     m.feature_sizes.size(),
-                                     names_packed.c_str(),
-                                     reinterpret_cast<float*>(row)) != 0) {
-            *err = "malformed record";
-            return "";
-          }
-        }
-      }
-
-      std::vector<const void*> data(in_bufs.size());
-      std::vector<int32_t> dtypes(in_bufs.size()), ndims(in_bufs.size());
-      std::vector<int64_t> dims;
-      for (size_t i = 0; i < in_bufs.size(); i++) {
-        data[i] = in_bufs[i].data();
-        dtypes[i] = m.call_inputs[i].dtype;
-        ndims[i] = m.call_inputs[i].dims.size();
-        dims.insert(dims.end(), m.call_inputs[i].dims.begin(),
-                    m.call_inputs[i].dims.end());
-      }
-      std::vector<void*> outs(out_bufs.size());
-      std::vector<int64_t> out_bytes(out_bufs.size());
-      for (size_t i = 0; i < out_bufs.size(); i++) {
-        outs[i] = out_bufs[i].data();
-        out_bytes[i] = out_bufs[i].size();
-      }
-      if (shr_execute(handle, data.size(), data.data(), dtypes.data(),
-                      dims.data(), ndims.data(), outs.size(), outs.data(),
-                      out_bytes.data(), errbuf, sizeof(errbuf)) != 0) {
-        *err = errbuf;
-        return "";
-      }
-
-      const float* values = reinterpret_cast<const float*>(out_bufs[0].data());
-      const int32_t* indices =
-          reinterpret_cast<const int32_t*>(out_bufs[1].data());
-      char num[64];
       for (size_t i = 0; i < n_real; i++) {
-        if (start + i) json += ", ";
-        snprintf(num, sizeof(num), "{\"video_index\": %zu, \"classes\": [",
-                 start + i);
-        json += num;
-        for (int32_t j = 0; j < k; j++) {
-          snprintf(num, sizeof(num), "%s%d", j ? ", " : "", indices[i * k + j]);
-          json += num;
-        }
-        json += "], \"scores\": [";
-        for (int32_t j = 0; j < k; j++) {
-          float v = values[i * k + j];
-          // JSON has no NaN/Inf; a diverged checkpoint must not emit an
-          // unparseable 200 body — null marks the broken score honestly
-          if (std::isfinite(v)) {
-            snprintf(num, sizeof(num), "%s%.6f", j ? ", " : "", v);
-          } else {
-            snprintf(num, sizeof(num), "%snull", j ? ", " : "");
-          }
-          json += num;
-        }
-        json += "]}";
+        if (!ParseOne(records[start + i].first, records[start + i].second,
+                      i, err))
+          return "";
       }
+      PadRows(n_real, n_real - 1);
+      if (!ExecuteOnce(err)) return "";
+      FormatRows(&json, 0, n_real, start, &first);
     }
     json += "]}";
     return json;
@@ -430,21 +475,212 @@ void SendResponse(int fd, int status, const char* status_text,
   }
 }
 
-bool UnframeRecords(const std::vector<uint8_t>& body,
-                    std::vector<std::pair<const uint8_t*, int64_t>>* records) {
-  size_t pos = 0;
-  while (pos + 4 <= body.size()) {
-    uint32_t len;
-    memcpy(&len, body.data() + pos, 4);
-    pos += 4;
-    if (pos + len > body.size()) return false;
-    records->emplace_back(body.data() + pos, len);
-    pos += len;
+// --- cross-request batching (the C++ twin of serving.py#BatchingQueue) -----
+// (record unframing lives in BatchHub::HandleConn, offset-based; the
+// serving.py#unframe_records convention applies: <4 trailing bytes are
+// ignored, a record overrunning the body is a framing error)
+
+struct PredictItem {
+  int fd = -1;
+  std::vector<uint8_t> body;  // owns the record bytes
+  std::vector<std::pair<int64_t, int64_t>> recs;  // (offset, len) into body
+};
+
+struct BatchHub {
+  Server* server = nullptr;
+  int linger_ms = 2;  // how long to wait for stragglers (--linger_ms)
+  std::mutex mu;
+  std::condition_variable cv;
+  std::deque<PredictItem> queue;
+  std::atomic<uint64_t> stat_requests{0}, stat_executes{0}, stat_rows{0},
+      stat_coalesced{0};
+  std::atomic<int32_t> active_conns{0};
+
+  void Submit(PredictItem&& item) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      queue.push_back(std::move(item));
+    }
+    cv.notify_one();
   }
-  // serving.py#unframe_records silently ignores <4 trailing bytes; only a
-  // record overrunning the body is a framing error (caught above)
-  return true;
-}
+
+  std::string Statz() {
+    char buf[256];
+    snprintf(buf, sizeof(buf),
+             "{\"requests\": %llu, \"executes\": %llu, \"rows\": %llu, "
+             "\"coalesced\": %llu}",
+             (unsigned long long)stat_requests.load(),
+             (unsigned long long)stat_executes.load(),
+             (unsigned long long)stat_rows.load(),
+             (unsigned long long)stat_coalesced.load());
+    return buf;
+  }
+
+  static void Reply(int fd, int status, const char* text,
+                    const std::string& body) {
+    SendResponse(fd, status, text, "application/json", body);
+    close(fd);
+  }
+
+  // The executor thread: owns the model scratch.  Takes one queued
+  // request; if it fits in a sub-batch, lingers up to 2 ms (the Python
+  // queue's max_delay_ms default) for more concurrent requests, packs
+  // them into ONE fixed-batch execution, and sends every request its
+  // slice.  Oversized requests run the chunked solo path.
+  void Run() {
+    const int32_t B = server->m.batch_size;
+    while (true) {
+      std::vector<PredictItem> batch;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return !queue.empty(); });
+        batch.push_back(std::move(queue.front()));
+        queue.pop_front();
+        if (static_cast<int64_t>(batch[0].recs.size()) < B) {
+          auto deadline = std::chrono::steady_clock::now() +
+                          std::chrono::milliseconds(linger_ms);
+          size_t total = batch[0].recs.size();
+          while (static_cast<int64_t>(total) < B) {
+            if (queue.empty()) {
+              if (cv.wait_until(lk, deadline) == std::cv_status::timeout)
+                break;
+              continue;
+            }
+            if (total + queue.front().recs.size() > static_cast<size_t>(B))
+              break;
+            total += queue.front().recs.size();
+            batch.push_back(std::move(queue.front()));
+            queue.pop_front();
+          }
+        }
+      }
+      Process(std::move(batch));
+    }
+  }
+
+  void Process(std::vector<PredictItem> batch) {
+    const int32_t B = server->m.batch_size;
+    std::string err;
+
+    // oversized request → chunked solo path (never coalesced)
+    if (batch.size() == 1 &&
+        static_cast<int64_t>(batch[0].recs.size()) > B) {
+      std::vector<std::pair<const uint8_t*, int64_t>> spans;
+      spans.reserve(batch[0].recs.size());
+      for (const auto& r : batch[0].recs)
+        spans.emplace_back(batch[0].body.data() + r.first, r.second);
+      std::string json = server->Predict(spans, &err);
+      stat_executes += (batch[0].recs.size() + B - 1) / B;
+      stat_rows += batch[0].recs.size();
+      if (json.empty()) {
+        Reply(batch[0].fd, 500, "Internal Server Error",
+              std::string("{\"error\": \"") + err + "\"}");
+      } else {
+        Reply(batch[0].fd, 200, "OK", json);
+      }
+      return;
+    }
+
+    // pack all items' records into consecutive batch rows; a request with
+    // a malformed record is answered 500 and excluded (its rows are
+    // overwritten by the next item)
+    struct Placed {
+      size_t item;
+      int32_t row_start;
+      size_t n;
+    };
+    std::vector<Placed> placed;
+    int32_t row = 0;
+    for (size_t it = 0; it < batch.size(); it++) {
+      const int32_t row0 = row;
+      bool ok = true;
+      for (const auto& r : batch[it].recs) {
+        if (!server->ParseOne(batch[it].body.data() + r.first, r.second, row,
+                              &err)) {
+          ok = false;
+          break;
+        }
+        row++;
+      }
+      if (!ok) {
+        row = row0;
+        Reply(batch[it].fd, 500, "Internal Server Error",
+              std::string("{\"error\": \"") + err + "\"}");
+        batch[it].fd = -1;
+        continue;
+      }
+      placed.push_back({it, row0, batch[it].recs.size()});
+    }
+    if (placed.empty()) return;
+
+    server->PadRows(row, row - 1);
+    stat_executes += 1;
+    stat_rows += row;
+    if (batch.size() > 1) stat_coalesced += batch.size();
+
+    if (!server->ExecuteOnce(&err)) {
+      for (const auto& p : placed)
+        Reply(batch[p.item].fd, 500, "Internal Server Error",
+              std::string("{\"error\": \"") + err + "\"}");
+      return;
+    }
+    for (const auto& p : placed) {
+      std::string json = "{\"predictions\": [";
+      bool first = true;
+      server->FormatRows(&json, p.row_start, p.n, 0, &first);
+      json += "]}";
+      Reply(batch[p.item].fd, 200, "OK", json);
+    }
+  }
+
+  // one detached thread per connection: socket I/O + unframing only —
+  // the model is executor-owned
+  void HandleConn(int fd) {
+    std::string head;
+    std::vector<uint8_t> body;
+    if (!RecvRequest(fd, &head, &body)) {
+      close(fd);
+      active_conns--;
+      return;
+    }
+    if (head.rfind("GET /healthz", 0) == 0) {
+      SendResponse(fd, 200, "OK", "text/plain", "ok");
+      close(fd);
+    } else if (head.rfind("GET /statz", 0) == 0) {
+      SendResponse(fd, 200, "OK", "application/json", Statz());
+      close(fd);
+    } else if (head.rfind("POST /predict", 0) == 0) {
+      PredictItem item;
+      item.fd = fd;
+      item.body = std::move(body);
+      size_t pos = 0;
+      bool ok = true;
+      while (pos + 4 <= item.body.size()) {
+        uint32_t len;
+        memcpy(&len, item.body.data() + pos, 4);
+        pos += 4;
+        if (pos + len > item.body.size()) {
+          ok = false;
+          break;
+        }
+        item.recs.emplace_back(pos, len);
+        pos += len;
+      }
+      if (!ok || item.recs.empty()) {
+        SendResponse(fd, 400, "Bad Request", "application/json",
+                     "{\"error\": \"bad record framing\"}");
+        close(fd);
+      } else {
+        stat_requests++;
+        Submit(std::move(item));  // executor replies and closes
+      }
+    } else {
+      SendResponse(fd, 404, "Not Found", "text/plain", "not found");
+      close(fd);
+    }
+    active_conns--;
+  }
+};
 
 }  // namespace
 
@@ -453,11 +689,13 @@ int main(int argc, char** argv) {
   signal(SIGPIPE, SIG_IGN);
   std::string export_dir;
   int port = 8500;
+  int linger_ms = 2;
   bool check_only = false;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a.rfind("--export_dir=", 0) == 0) export_dir = a.substr(13);
     else if (a.rfind("--port=", 0) == 0) port = atoi(a.c_str() + 7);
+    else if (a.rfind("--linger_ms=", 0) == 0) linger_ms = atoi(a.c_str() + 12);
     else if (a == "--check") check_only = true;
     else {
       fprintf(stderr, "unknown arg: %s\n", a.c_str());
@@ -466,7 +704,7 @@ int main(int argc, char** argv) {
   }
   if (export_dir.empty()) {
     fprintf(stderr,
-            "usage: lpm_serve --export_dir=DIR [--port=8500] [--check]\n");
+            "usage: lpm_serve --export_dir=DIR [--port=8500] [--linger_ms=2] [--check]\n");
     return 2;
   }
 
@@ -509,39 +747,26 @@ int main(int argc, char** argv) {
          port, server.m.batch_size);
   fflush(stdout);
 
-  std::string head;
-  std::vector<uint8_t> body;
+  static BatchHub hub;
+  hub.server = &server;
+  hub.linger_ms = linger_ms;
+  std::thread([] { hub.Run(); }).detach();  // the model-owning executor
+
   while (true) {
     int fd = accept(sfd, nullptr, nullptr);
     if (fd < 0) continue;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    // an idle connection must not wedge the single accept loop
+    // an idle connection ties up only its own handler thread, but still
+    // bound it; shed load instead of spawning unbounded threads
     struct timeval tmo = {30, 0};
     setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tmo, sizeof(tmo));
-    if (!RecvRequest(fd, &head, &body)) {
+    if (hub.active_conns.load() >= 256) {
+      SendResponse(fd, 503, "Service Unavailable", "application/json",
+                   "{\"error\": \"too many connections\"}");
       close(fd);
       continue;
     }
-    if (head.rfind("GET /healthz", 0) == 0) {
-      SendResponse(fd, 200, "OK", "text/plain", "ok");
-    } else if (head.rfind("POST /predict", 0) == 0) {
-      std::vector<std::pair<const uint8_t*, int64_t>> records;
-      if (!UnframeRecords(body, &records) || records.empty()) {
-        SendResponse(fd, 400, "Bad Request", "application/json",
-                     "{\"error\": \"bad record framing\"}");
-      } else {
-        err.clear();
-        std::string json = server.Predict(records, &err);
-        if (json.empty()) {
-          SendResponse(fd, 500, "Internal Server Error", "application/json",
-                       std::string("{\"error\": \"") + err + "\"}");
-        } else {
-          SendResponse(fd, 200, "OK", "application/json", json);
-        }
-      }
-    } else {
-      SendResponse(fd, 404, "Not Found", "text/plain", "not found");
-    }
-    close(fd);
+    hub.active_conns++;
+    std::thread([fd] { hub.HandleConn(fd); }).detach();
   }
 }

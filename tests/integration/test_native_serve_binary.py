@@ -122,6 +122,76 @@ def test_http_serving_matches_jax(artifact):
         proc.wait()
 
 
+def test_concurrent_requests_coalesce(artifact):
+    """The C++ BatchHub must coalesce concurrent sub-batch requests into
+    shared executions (the serving.py#BatchingQueue twin): with a generous
+    --linger_ms and B=4, four simultaneous 1-record posts take at most two
+    executions, every response stays correct, and /statz exposes the
+    counters."""
+    import threading
+
+    from learnablepoolingmethods_tpu import serving
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+
+    export_dir, data_path = artifact
+    binary = nr.build_serving_binary()
+    port = 19620 + (os.getpid() % 997)
+    proc = subprocess.Popen(
+        [binary, f"--export_dir={export_dir}", f"--port={port}",
+         "--linger_ms=300"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        deadline = time.time() + 280
+        line = ""
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                break
+            assert proc.poll() is None, "lpm_serve exited early"
+        assert "serving" in line
+
+        records = list(tfrecord_io.read_tfrecords(data_path))[:4]
+        jax_server = serving.ModelServer(export_dir, B)
+        want = jax_server.predict_pairs(records)
+
+        results = [None] * 4
+        def post(i):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            conn.request(
+                "POST", "/predict", body=serving.frame_records([records[i]])
+            )
+            resp = conn.getresponse()
+            results[i] = (resp.status, json.loads(resp.read()))
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i, (status, out) in enumerate(results):
+            assert status == 200
+            (p,) = out["predictions"]
+            assert p["video_index"] == 0  # request-local indexing
+            assert p["classes"] == want[i][0]
+            np.testing.assert_allclose(p["scores"], want[i][1], atol=2e-6)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/statz")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] == 4
+        assert stats["rows"] == 4
+        # 300 ms linger on a 1-core host: the four 1-record requests must
+        # share executions (worst case one straggler → 2; the dense case
+        # would be 4)
+        assert stats["executes"] <= 2, stats
+        assert stats["coalesced"] >= 2, stats
+    finally:
+        proc.kill()
+        proc.wait()
+
+
 def test_video_level_check_and_http(tmp_path):
     """lpm_serve's video-level branch (Example parse → f32 features, no
     num_frames input): --check plus one HTTP roundtrip vs the jax server."""
