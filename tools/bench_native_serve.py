@@ -92,6 +92,38 @@ def emit(metric, best, mean):
     }), flush=True)
 
 
+CLIENTS = 8
+RECS_PER_REQ = 4
+POSTS_PER_CLIENT = 12
+
+
+def time_concurrent(port, body):
+    """CLIENTS threads × POSTS_PER_CLIENT sequential posts of RECS_PER_REQ
+    records each → aggregate rows/s.  This is the shape cross-request
+    batching exists for: 8 concurrent 4-record requests fill one 32-row
+    execution instead of eight."""
+    import threading
+
+    def client():
+        for _ in range(POSTS_PER_CLIENT):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/predict", body=body)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+
+    client()  # warm (compile + caches)
+    threads = [threading.Thread(target=client) for _ in range(CLIENTS)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    rows = CLIENTS * POSTS_PER_CLIENT * RECS_PER_REQ
+    return rows / wall
+
+
 def main():
     from learnablepoolingmethods_tpu import serving
     from learnablepoolingmethods_tpu.core import native_runtime as nr
@@ -117,22 +149,51 @@ def main():
             assert proc.poll() is None, "lpm_serve exited"
         best, mean = time_http(port, body)
         emit("native_serve_http_ms_per_batch", best, mean)
+
+        def statz():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("GET", "/statz")
+            return json.loads(conn.getresponse().read())
+
+        small = serving.frame_records(records[:RECS_PER_REQ])
+        before = statz()
+        rps = time_concurrent(port, small)
+        after = statz()
+        delta = {k: after[k] - before[k] for k in after}
+        print(json.dumps({
+            "metric": "native_serve_concurrent_rows_per_s",
+            "value": round(rps, 1), "unit": "rows/s",
+            "clients": CLIENTS, "recs_per_req": RECS_PER_REQ,
+            "statz_delta": delta,
+        }), flush=True)
     finally:
         proc.kill()
         proc.wait()
 
-    # --- python server (jax CPU) over HTTP, same artifact
+    # --- python server (jax CPU) over HTTP, same artifact, with the
+    # BatchingQueue wired exactly as serve_forever does (the dispatch loop
+    # may run off-main on CPU)
+    model_server = serving.ModelServer(export_dir, B)
+    batcher = serving.BatchingQueue(model_server)
     httpd = serving.ThreadingHTTPServer(
         ("127.0.0.1", 0),
-        serving.make_handler(serving.ModelServer(export_dir, B)),
+        serving.make_handler(model_server, batcher),
     )
     import threading
 
+    threading.Thread(target=batcher.run_forever, daemon=True).start()
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
     try:
         best, mean = time_http(httpd.server_address[1], body)
         emit("python_serve_http_ms_per_batch", best, mean)
+        rps = time_concurrent(httpd.server_address[1],
+                              serving.frame_records(records[:RECS_PER_REQ]))
+        print(json.dumps({
+            "metric": "python_serve_concurrent_rows_per_s",
+            "value": round(rps, 1), "unit": "rows/s",
+            "clients": CLIENTS, "recs_per_req": RECS_PER_REQ,
+        }), flush=True)
     finally:
         httpd.shutdown()
 
