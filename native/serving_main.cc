@@ -496,12 +496,19 @@ struct BatchHub {
       stat_coalesced{0};
   std::atomic<int32_t> active_conns{0};
 
-  void Submit(PredictItem&& item) {
+  // bounded: the old one-request-at-a-time loop had implicit
+  // backpressure; the queue must not grow without limit when clients
+  // post faster than the executor drains (each item owns its body)
+  static constexpr size_t kMaxQueued = 64;
+
+  bool TrySubmit(PredictItem&& item) {
     {
       std::lock_guard<std::mutex> lk(mu);
+      if (queue.size() >= kMaxQueued) return false;
       queue.push_back(std::move(item));
     }
     cv.notify_one();
+    return true;
   }
 
   std::string Statz() {
@@ -670,9 +677,12 @@ struct BatchHub {
         SendResponse(fd, 400, "Bad Request", "application/json",
                      "{\"error\": \"bad record framing\"}");
         close(fd);
+      } else if (!TrySubmit(std::move(item))) {
+        SendResponse(fd, 503, "Service Unavailable", "application/json",
+                     "{\"error\": \"queue full\"}");
+        close(fd);
       } else {
-        stat_requests++;
-        Submit(std::move(item));  // executor replies and closes
+        stat_requests++;  // executor replies and closes
       }
     } else {
       SendResponse(fd, 404, "Not Found", "text/plain", "not found");
@@ -760,6 +770,10 @@ int main(int argc, char** argv) {
     // bound it; shed load instead of spawning unbounded threads
     struct timeval tmo = {30, 0};
     setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tmo, sizeof(tmo));
+    // and a SEND timeout: replies go out on the single model-owning
+    // executor thread — a client that stops reading must cost at most
+    // 30 s, not wedge every other request forever
+    setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tmo, sizeof(tmo));
     if (hub.active_conns.load() >= 256) {
       SendResponse(fd, 503, "Service Unavailable", "application/json",
                    "{\"error\": \"too many connections\"}");

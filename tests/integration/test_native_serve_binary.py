@@ -125,7 +125,8 @@ def test_http_serving_matches_jax(artifact):
 def test_concurrent_requests_coalesce(artifact):
     """The C++ BatchHub must coalesce concurrent sub-batch requests into
     shared executions (the serving.py#BatchingQueue twin): with a generous
-    --linger_ms and B=4, four simultaneous 1-record posts take at most two
+    --linger_ms (1 s — generous against GC/scheduler stalls on the 1-core
+    host) and B=4, four simultaneous 1-record posts take at most two
     executions, every response stays correct, and /statz exposes the
     counters."""
     import threading
@@ -138,7 +139,7 @@ def test_concurrent_requests_coalesce(artifact):
     port = 19620 + (os.getpid() % 997)
     proc = subprocess.Popen(
         [binary, f"--export_dir={export_dir}", f"--port={port}",
-         "--linger_ms=300"],
+         "--linger_ms=1000"],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     )
     try:
@@ -182,7 +183,7 @@ def test_concurrent_requests_coalesce(artifact):
         stats = json.loads(conn.getresponse().read())
         assert stats["requests"] == 4
         assert stats["rows"] == 4
-        # 300 ms linger on a 1-core host: the four 1-record requests must
+        # 1 s linger on a 1-core host: the four 1-record requests must
         # share executions (worst case one straggler → 2; the dense case
         # would be 4)
         assert stats["executes"] <= 2, stats

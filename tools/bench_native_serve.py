@@ -97,11 +97,23 @@ RECS_PER_REQ = 4
 POSTS_PER_CLIENT = 12
 
 
+def warm_concurrent(port, body):
+    """Warm the compile/caches OUTSIDE the measured (and statz-delta'd)
+    window — the warm-up posts are sequential and would otherwise inflate
+    'executes' with never-coalesced solo executions."""
+    for _ in range(POSTS_PER_CLIENT):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/predict", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+
+
 def time_concurrent(port, body):
     """CLIENTS threads × POSTS_PER_CLIENT sequential posts of RECS_PER_REQ
     records each → aggregate rows/s.  This is the shape cross-request
     batching exists for: 8 concurrent 4-record requests fill one 32-row
-    execution instead of eight."""
+    execution instead of eight.  Caller warms first (warm_concurrent)."""
     import threading
 
     def client():
@@ -112,7 +124,6 @@ def time_concurrent(port, body):
             assert resp.status == 200
             resp.read()
 
-    client()  # warm (compile + caches)
     threads = [threading.Thread(target=client) for _ in range(CLIENTS)]
     t0 = time.perf_counter()
     for t in threads:
@@ -156,6 +167,7 @@ def main():
             return json.loads(conn.getresponse().read())
 
         small = serving.frame_records(records[:RECS_PER_REQ])
+        warm_concurrent(port, small)
         before = statz()
         rps = time_concurrent(port, small)
         after = statz()
@@ -187,8 +199,9 @@ def main():
     try:
         best, mean = time_http(httpd.server_address[1], body)
         emit("python_serve_http_ms_per_batch", best, mean)
-        rps = time_concurrent(httpd.server_address[1],
-                              serving.frame_records(records[:RECS_PER_REQ]))
+        small = serving.frame_records(records[:RECS_PER_REQ])
+        warm_concurrent(httpd.server_address[1], small)
+        rps = time_concurrent(httpd.server_address[1], small)
         print(json.dumps({
             "metric": "python_serve_concurrent_rows_per_s",
             "value": round(rps, 1), "unit": "rows/s",

@@ -112,125 +112,11 @@ def _skip_kernel(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
         out_ref[0, :, h * hd : (h + 1) * hd] = acc.astype(out_ref.dtype)
 
 
-def _qk_skip_kernel(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
-    """Skip BOTH query and key blocks past num_frames: pad query rows'
-    outputs are don't-cares downstream (mean-pool/NetVLAD mask them, and
-    as layer-2 keys they are masked by `neg`), so write zeros for dead
-    query blocks and compute only live q-block × live k-block tiles —
-    attention work scales ~(nf/F)^2 per video instead of (nf/F)."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-
-    _, f, dm3 = qkv_ref.shape
-    dm = dm3 // 3
-    hd = dm // num_heads
-    scale = 1.0 / (hd ** 0.5)
-    nf = nf_ref[0]
-    neg = (1.0 - mask_ref[0]) * -1e9  # [1, F]
-    starts = list(range(0, f, BLOCK))
-
-    for qs in starts:
-        qsz = min(BLOCK, f - qs)
-        qlive = nf > qs
-
-        def q_block(qs=qs, qsz=qsz):
-            for h in range(num_heads):
-                q = qkv_ref[0, qs : qs + qsz, h * hd : (h + 1) * hd]
-
-                lblks = []
-                for s in starts:
-                    sz = min(BLOCK, f - s)
-
-                    def compute(q=q, s=s, sz=sz, h=h):
-                        k = qkv_ref[0, s : s + sz, dm + h * hd : dm + (h + 1) * hd]
-                        return (
-                            jax.lax.dot_general(
-                                q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-                            * scale
-                            + neg[:, s : s + sz]
-                        )
-
-                    if s == 0:
-                        lblks.append(compute())
-                    else:
-                        lblks.append(
-                            jax.lax.cond(
-                                nf > s,
-                                compute,
-                                lambda sz=sz, qsz=qsz: jnp.full(
-                                    (qsz, sz), -1e9, jnp.float32
-                                ),
-                            )
-                        )
-
-                mx = functools.reduce(
-                    jnp.maximum, [jnp.max(lb, -1, keepdims=True) for lb in lblks]
-                )
-                eblks = []
-                for s, lb in zip(starts, lblks):
-                    sz = min(BLOCK, f - s)
-                    if s == 0:
-                        eblks.append(jnp.exp(lb - mx))
-                    else:
-                        eblks.append(
-                            jax.lax.cond(
-                                nf > s,
-                                lambda lb=lb: jnp.exp(lb - mx),
-                                lambda sz=sz, qsz=qsz: jnp.zeros(
-                                    (qsz, sz), jnp.float32
-                                ),
-                            )
-                        )
-                inv = 1.0 / functools.reduce(
-                    jnp.add, [jnp.sum(e, -1, keepdims=True) for e in eblks]
-                )
-                acc = None
-                for s, e in zip(starts, eblks):
-                    sz = min(BLOCK, f - s)
-
-                    def wv(s=s, sz=sz, h=h, e=e, inv=inv):
-                        v = qkv_ref[
-                            0, s : s + sz, 2 * dm + h * hd : 2 * dm + (h + 1) * hd
-                        ]
-                        return jax.lax.dot_general(
-                            (e * inv).astype(v.dtype), v,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    c = (
-                        wv()
-                        if s == 0
-                        else jax.lax.cond(
-                            nf > s, wv,
-                            lambda qsz=qsz: jnp.zeros((qsz, hd), jnp.float32),
-                        )
-                    )
-                    acc = c if acc is None else acc + c
-                out_ref[0, qs : qs + qsz, h * hd : (h + 1) * hd] = acc.astype(
-                    out_ref.dtype
-                )
-
-        if qs == 0:
-            q_block()
-        else:
-            @pl.when(qlive)
-            def _(qb=q_block):
-                qb()
-
-            @pl.when(jnp.logical_not(qlive))
-            def _(qs=qs, qsz=qsz):
-                out_ref[0, qs : qs + qsz, :] = jnp.zeros(
-                    (qsz, dm), out_ref.dtype
-                )
-
-
-def masked_attention_skip(
-    qkv, num_frames, mask, num_heads, interpret=False, qk=False
-):
+def masked_attention_skip(qkv, num_frames, mask, num_heads, interpret=False):
+    """K-only skip variant (kept for comparison; the SHIPPED q+k kernel is
+    ops/fast_transformer.py#_attention_kernel_skip — the qk arm below
+    times THAT via masked_attention_fused(num_frames=...) so the flip
+    decision is made on the product kernel)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -242,9 +128,7 @@ def masked_attention_skip(
     spec_in = pl.BlockSpec((1, f, dm3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_m = pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, f, dm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    kern = functools.partial(
-        _qk_skip_kernel if qk else _skip_kernel, num_heads=num_heads
-    )
+    kern = functools.partial(_skip_kernel, num_heads=num_heads)
     return pl.pallas_call(
         kern,
         grid=(b,),
@@ -295,7 +179,9 @@ def main():
         print(f"interpret parity: max |diff| on valid rows = {err:.3e}")
         assert err <= 2e-6, err
         gq = np.asarray(
-            masked_attention_skip(qkv, nf, mask, H, interpret=True, qk=True),
+            masked_attention_fused(
+                qkv, mask, H, num_frames=nf, interpret=True
+            ),
             np.float32,
         )
         errq = 0.0
@@ -345,8 +231,8 @@ def main():
     print(f"skip kernel   (nf~U[10,300]): {t*1e3:.2f} ms/layer")
 
     qkskip = jax.jit(
-        lambda dep, qkv, n, m: masked_attention_skip(
-            qkv + dep.astype(jnp.bfloat16), n, m, H, qk=True
+        lambda dep, qkv, n, m: masked_attention_fused(
+            qkv + dep.astype(jnp.bfloat16), m, H, num_frames=n
         )
     )
     t = timeit(lambda dep: qkskip(dep, qkv, nf, mask))
