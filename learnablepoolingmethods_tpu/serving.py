@@ -200,6 +200,13 @@ class BatchingQueue:
         self._server = server
         self._q: "queue.Queue" = queue.Queue()
         self._linger = max_delay_ms / 1e3
+        # counters, written only on the dispatch thread (no lock needed);
+        # GET /statz exposes them — same contract as lpm_serve's
+        self._stats = {"requests": 0, "executes": 0, "rows": 0,
+                       "coalesced": 0}
+
+    def stats(self) -> dict:
+        return dict(self._stats)
 
     def submit(self, records: List[bytes]) -> Future:
         fut: Future = Future()
@@ -234,6 +241,13 @@ class BatchingQueue:
             pending.append(nxt)
             total += len(nxt[0])
         records = [r for recs, _ in pending for r in recs]
+        self._stats["requests"] += len(pending)
+        self._stats["rows"] += len(records)
+        self._stats["executes"] += max(
+            1, -(-len(records) // self._server.batch_size)
+        )
+        if len(pending) > 1:
+            self._stats["coalesced"] += len(pending)
         try:
             pairs = self._server.predict_pairs(records)
         except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
@@ -267,6 +281,8 @@ def make_handler(server: ModelServer, batcher: Optional[BatchingQueue] = None):
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
+            elif self.path == "/statz" and batcher is not None:
+                self._send(200, json.dumps(batcher.stats()).encode())
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -164,6 +164,14 @@ def test_concurrent_requests_coalesce(served_batching):
     # coalesce into fewer device dispatches than requests
     assert calls["n"] < 4, f"no coalescing happened ({calls['n']} dispatches)"
 
+    # GET /statz exposes the queue counters (the lpm_serve contract)
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", "/statz")
+    stats = json.loads(conn.getresponse().read())
+    assert stats["requests"] >= 4 and stats["rows"] >= 4
+    assert stats["coalesced"] >= 2
+    assert stats["executes"] <= stats["requests"]
+
     # per-request answers equal the one-shot combined request
     status, body = _post(port, "/predict", serving.frame_records(records[:4]))
     combined = json.loads(body)["predictions"]
