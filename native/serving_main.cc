@@ -28,6 +28,7 @@
 
 #include <arpa/inet.h>
 #include <csignal>
+#include <poll.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -694,9 +695,20 @@ struct BatchHub {
 
 }  // namespace
 
+volatile sig_atomic_t g_stop = 0;
+
+void HandleTerm(int) {
+  // graceful stop: the accept loop polls with a 500 ms timeout and
+  // re-checks this flag (close() does NOT wake a blocked accept() on
+  // Linux); in-flight requests finish (executor drains its queue)
+  g_stop = 1;
+}
+
 int main(int argc, char** argv) {
   // a client closing mid-response must EPIPE the send(), not kill the server
   signal(SIGPIPE, SIG_IGN);
+  signal(SIGTERM, HandleTerm);
+  signal(SIGINT, HandleTerm);
   std::string export_dir;
   int port = 8500;
   int linger_ms = 2;
@@ -757,12 +769,18 @@ int main(int argc, char** argv) {
          port, server.m.batch_size);
   fflush(stdout);
 
-  static BatchHub hub;
+  // intentionally leaked: destroying a condition_variable/mutex with the
+  // detached executor thread blocked on it at exit() is UB (can hang the
+  // graceful-shutdown path); the OS reclaims everything at process exit
+  static BatchHub& hub = *new BatchHub();
   hub.server = &server;
   hub.linger_ms = linger_ms;
   std::thread([] { hub.Run(); }).detach();  // the model-owning executor
 
-  while (true) {
+  struct pollfd pfd = {sfd, POLLIN, 0};
+  while (!g_stop) {
+    int pr = poll(&pfd, 1, 500);
+    if (pr <= 0) continue;  // timeout or EINTR → re-check g_stop
     int fd = accept(sfd, nullptr, nullptr);
     if (fd < 0) continue;
     setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
@@ -783,4 +801,14 @@ int main(int argc, char** argv) {
     hub.active_conns++;
     std::thread([fd] { hub.HandleConn(fd); }).detach();
   }
+  // drain: let queued requests get their replies before exiting
+  for (int i = 0; i < 300; i++) {
+    {
+      std::lock_guard<std::mutex> lk(hub.mu);
+      if (hub.queue.empty() && hub.active_conns.load() == 0) break;
+    }
+    usleep(100 * 1000);
+  }
+  fprintf(stderr, "lpm_serve: stopped\n");
+  return 0;
 }

@@ -193,6 +193,36 @@ def test_concurrent_requests_coalesce(artifact):
         proc.wait()
 
 
+def test_graceful_sigterm(artifact):
+    """SIGTERM closes the listen socket and exits 0 after draining —
+    container orchestration contract (previously required SIGKILL)."""
+    import signal
+
+    export_dir, _ = artifact
+    binary = nr.build_serving_binary()
+    port = 20620 + (os.getpid() % 997)
+    proc = subprocess.Popen(
+        [binary, f"--export_dir={export_dir}", f"--port={port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        deadline = time.time() + 280
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                break
+            assert proc.poll() is None, "lpm_serve exited early"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b"ok"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=35) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def test_video_level_check_and_http(tmp_path):
     """lpm_serve's video-level branch (Example parse → f32 features, no
     num_frames input): --check plus one HTTP roundtrip vs the jax server."""
