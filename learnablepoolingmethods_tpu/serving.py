@@ -196,9 +196,14 @@ class BatchingQueue:
 
     _SHUTDOWN = object()
 
+    # bounded like lpm_serve's BatchHub: without a cap, a burst of
+    # requests (each handler thread holding its record bytes) grows the
+    # queue without limit while the dispatch loop drains at device speed
+    MAX_QUEUED = 64
+
     def __init__(self, server: ModelServer, max_delay_ms: float = 2.0):
         self._server = server
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=self.MAX_QUEUED)
         self._linger = max_delay_ms / 1e3
         # counters, written only on the dispatch thread (no lock needed);
         # GET /statz exposes them — same contract as lpm_serve's
@@ -209,8 +214,10 @@ class BatchingQueue:
         return dict(self._stats)
 
     def submit(self, records: List[bytes]) -> Future:
+        """Raises queue.Full when the server is saturated — the handler
+        turns that into a 503 instead of buffering without bound."""
         fut: Future = Future()
-        self._q.put((records, fut))
+        self._q.put_nowait((records, fut))
         return fut
 
     def shutdown(self):
@@ -224,6 +231,7 @@ class BatchingQueue:
         item = self._q.get()
         if item is self._SHUTDOWN:
             return False
+        stop_after = False
         pending = [item]
         total = len(item[0])
         deadline = time.monotonic() + self._linger
@@ -236,7 +244,10 @@ class BatchingQueue:
             except queue.Empty:
                 break
             if nxt is self._SHUTDOWN:
-                self._q.put(nxt)  # re-deliver after this batch
+                # don't re-put (the queue is bounded now and could be
+                # full, deadlocking the only consumer) — honor it after
+                # this batch
+                stop_after = True
                 break
             pending.append(nxt)
             total += len(nxt[0])
@@ -253,7 +264,7 @@ class BatchingQueue:
         except Exception as e:  # noqa: BLE001 — fail the requests, not the loop
             for _, fut in pending:
                 fut.set_exception(e)
-            return True
+            return not stop_after
         pos = 0
         for recs, fut in pending:
             fut.set_result(
@@ -263,7 +274,7 @@ class BatchingQueue:
                 ]
             )
             pos += len(recs)
-        return True
+        return not stop_after
 
 
 def make_handler(server: ModelServer, batcher: Optional[BatchingQueue] = None):
@@ -300,6 +311,11 @@ def make_handler(server: ModelServer, batcher: Optional[BatchingQueue] = None):
                     preds = batcher.submit(records).result(timeout=300)
                 else:
                     preds = server.predict(records)
+            except queue.Full:
+                self._send(
+                    503, json.dumps({"error": "queue full"}).encode()
+                )
+                return
             except Exception as e:  # noqa: BLE001 — report, don't crash the server
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return

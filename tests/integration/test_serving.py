@@ -383,3 +383,22 @@ def test_native_serve_matches_jax(tmp_path):
     # exclusive with the fused-path flags
     with pytest.raises(ValueError, match="exclusive"):
         serving.ModelServer(export_dir, 4, native=True, fast_serve=True)
+
+
+def test_batching_queue_bounded():
+    """submit() must raise queue.Full at saturation (the handler maps it
+    to 503) instead of buffering without bound — lpm_serve parity."""
+    import queue as queue_mod
+
+    import pytest as _pytest
+
+    from learnablepoolingmethods_tpu import serving
+
+    class _Noop:
+        batch_size = 4
+
+    q = serving.BatchingQueue(_Noop())  # dispatch loop NOT running
+    for _ in range(serving.BatchingQueue.MAX_QUEUED):
+        q.submit([b"r"])
+    with _pytest.raises(queue_mod.Full):
+        q.submit([b"r"])
