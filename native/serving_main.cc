@@ -589,9 +589,12 @@ struct BatchHub {
       return;
     }
 
-    // pack all items' records into consecutive batch rows; a request with
-    // a malformed record is answered 500 and excluded (its rows are
-    // overwritten by the next item)
+    // pack all items' records into consecutive batch rows; a request
+    // whose record fails to parse is answered 500 and excluded (its rows
+    // are overwritten by the next item).  NOTE: the wire-format parser is
+    // deliberately lenient (absent/garbled features parse as zero rows —
+    // tfrecord_reader.cc), so via HTTP this branch is defensive depth,
+    // reachable only through parser-contract violations
     struct Placed {
       size_t item;
       int32_t row_start;
