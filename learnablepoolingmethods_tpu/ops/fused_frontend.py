@@ -50,7 +50,7 @@ FRAME_BLOCK = 128
 
 
 def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
-                 block_skip: bool = False):
+                 block_skip: bool = False, frame_block: int = FRAME_BLOCK):
     def kernel(
         *refs,
         # with block_skip an extra leading nf_ref ([1] int32, SMEM) is
@@ -105,9 +105,9 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
             # dequant/ℓ2/BN passes and MXU partial entirely (bit-exact:
             # the skipped partials are exact zeros).  Block 0 always runs.
             nf = nf_ref[0]
-            acc = pipeline_block(0, min(FRAME_BLOCK, f))
-            for s0 in range(FRAME_BLOCK, f, FRAME_BLOCK):
-                sz = min(FRAME_BLOCK, f - s0)
+            acc = pipeline_block(0, min(frame_block, f))
+            for s0 in range(frame_block, f, frame_block):
+                sz = min(frame_block, f - s0)
                 acc = acc + jax.lax.cond(
                     nf > s0,
                     functools.partial(pipeline_block, s0, sz),
@@ -146,7 +146,7 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "frame_block"))
 def netvlad_frontend_fused(
     x_u8,       # [B, F, DT] uint8
     idx,        # [B, S] int32 sampled frame indices
@@ -158,6 +158,7 @@ def netvlad_frontend_fused(
                       # sampled (sample_indices guarantee) → their 128-row
                       # frame blocks are skipped, bit-exactly
     *,
+    frame_block: int = FRAME_BLOCK,
     interpret: bool = False,
 ):
     """Returns (vlad_rgb [B, d_rgb, k_rgb], vlad_aud [B, d_aud, k_aud]) bf16."""
@@ -168,7 +169,10 @@ def netvlad_frontend_fused(
     assert d_rgb + d_aud == dt, (d_rgb, d_aud, dt)
 
     block_skip = num_frames is not None
-    kernel = _make_kernel(d_rgb, k_rgb, d_aud, k_aud, block_skip=block_skip)
+    kernel = _make_kernel(
+        d_rgb, k_rgb, d_aud, k_aud,
+        block_skip=block_skip, frame_block=frame_block,
+    )
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
 
     skip_specs = (

@@ -87,6 +87,19 @@ def main():
     t = timeit(lambda dep: skip(dep, x, idx_full, nf_full))
     print(f"skip  frontend (nf=300 worst): {t*1e3:.2f} ms @ B={B}")
 
+    # finer frame blocks waste less on the distribution's tail (live
+    # fraction ~0.70 @128 vs ~0.61 @64 for nf~U[10,300]) but add branches;
+    # frame_block is a static jit arg, so each size recompiles cleanly
+    for blk in (64, 32):
+        skip_b = jax.jit(
+            lambda dep, x, idx, n, _b=blk: netvlad_frontend_fused(
+                x, idx + (dep * 0).astype(jnp.int32), *ck,
+                num_frames=n, frame_block=_b,
+            )
+        )
+        t = timeit(lambda dep: skip_b(dep, x, idx, nf))
+        print(f"skip  frontend (block={blk}, nf~U): {t*1e3:.2f} ms @ B={B}")
+
 
 if __name__ == "__main__":
     main()
