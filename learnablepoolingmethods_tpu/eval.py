@@ -96,12 +96,16 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
-    if FLAGS.int8_hidden and (
-        not FLAGS.fast_forward or FLAGS.model != "NetVLADModelLF"
-    ):
-        raise ValueError(
-            "--int8_hidden requires --fast_forward with --model=NetVLADModelLF"
+    if FLAGS.int8_hidden:
+        from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+            int8_capable_models,
         )
+
+        if not FLAGS.fast_forward or FLAGS.model not in int8_capable_models():
+            raise ValueError(
+                "--int8_hidden requires --fast_forward with one of "
+                f"{{int8_capable_models()}}"
+            )
     if FLAGS.fast_forward:
         from learnablepoolingmethods_tpu.ops import metrics_ops
 

@@ -97,12 +97,16 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
         params = jax.device_put(tree["params"], repl)
     batch_stats = jax.device_put(tree["batch_stats"], repl)
 
-    if FLAGS.int8_hidden and (
-        not FLAGS.fast_infer or FLAGS.model != "NetVLADModelLF"
-    ):
-        raise ValueError(
-            "--int8_hidden requires --fast_infer with --model=NetVLADModelLF"
+    if FLAGS.int8_hidden:
+        from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+            int8_capable_models,
         )
+
+        if not FLAGS.fast_infer or FLAGS.model not in int8_capable_models():
+            raise ValueError(
+                "--int8_hidden requires --fast_infer with one of "
+                f"{{int8_capable_models()}}"
+            )
     if FLAGS.fast_infer:
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
         # honor --model_parallelism on the fast tree too: a model sharded

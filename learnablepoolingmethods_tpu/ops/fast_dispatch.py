@@ -16,7 +16,8 @@ per model family:
   TPU only; the jnp route is identical math and composes with GSPMD);
   builders without a Pallas kernel accept and ignore it.
 - ``supports_int8``: whether ``prepare`` honors the weight-only int8
-  hidden FC (ops/int8_matmul.py) — NetVLADModelLF only.
+  hidden FC (ops/int8_matmul.py) — the models with the giant D·K hidden
+  FC: NetVLADModelLF and AttentionNetVLADModel.
 
 Imports are deferred inside each factory so importing this module stays
 cheap for CLIs that never take a fast path.
@@ -47,9 +48,17 @@ class FastPath(NamedTuple):
 def _reject_int8(model_name: str, int8_hidden: bool) -> None:
     if int8_hidden:
         raise ValueError(
-            f"int8_hidden is only supported on NetVLADModelLF, not "
+            "int8_hidden is only supported on the models with the giant "
+            f"D*K hidden FC (NetVLADModelLF, AttentionNetVLADModel), not "
             f"{model_name}"
         )
+
+
+def int8_capable_models() -> Tuple[str, ...]:
+    """Model names whose fast path honors --int8_hidden."""
+    return tuple(
+        name for name, make in _factories().items() if make().supports_int8
+    )
 
 
 def _netvlad() -> FastPath:
@@ -138,8 +147,9 @@ def _attn_netvlad() -> FastPath:
     )
 
     def prepare(variables, mcfg, int8_hidden=False):
-        _reject_int8("AttentionNetVLADModel", int8_hidden)
-        return prepare_fast_attn_netvlad_params(variables, mcfg)
+        return prepare_fast_attn_netvlad_params(
+            variables, mcfg, int8_hidden=int8_hidden
+        )
 
     def build(mcfg, top_k=20, use_pallas=True, pallas_interpret=False,
               return_probs=False):
@@ -148,7 +158,7 @@ def _attn_netvlad() -> FastPath:
             pallas_interpret=pallas_interpret, return_probs=return_probs,
         )
 
-    return FastPath(prepare, build, supports_int8=False)
+    return FastPath(prepare, build, supports_int8=True)
 
 
 _REGISTRY: Optional[Dict[str, Callable[[], FastPath]]] = None

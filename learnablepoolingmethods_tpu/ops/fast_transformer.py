@@ -464,10 +464,15 @@ def prepare_fast_attn_netvlad_params(
     variables: Dict[str, Any],
     mcfg: ModelConfig,
     compute_dtype=jnp.bfloat16,
+    int8_hidden: bool = False,
 ) -> Dict[str, Any]:
     """AttentionNetVLADModel (encoder → NetVLAD → gated tail): encoder
     layers like the transformer path + the vlad module's folded
-    assignment-BN constants (attention.py#AttentionNetVLADModel)."""
+    assignment-BN constants (attention.py#AttentionNetVLADModel).
+
+    ``int8_hidden``: weight-only int8 for the D·K → hidden FC — the SAME
+    [262144, 1024] HBM-bound weight the NetVLADModelLF path quantizes
+    (ops/fast_infer.py, measured +14% e2e at B=256 on that shape)."""
     if not mcfg.gating:
         raise ValueError("fast path supports the gated tail only")
     if not mcfg.netvlad_add_batch_norm or mcfg.netvlad_relu:
@@ -484,6 +489,15 @@ def prepare_fast_attn_netvlad_params(
     scale, bias = _fold_bn(vp["cluster_bn"], vs["cluster_bn"])
     g_scale, g_bias = _fold_bn(p["gating"]["gating_bn"], s["gating"]["gating_bn"])
     moe = p["MoeModel_0"]
+    if int8_hidden:
+        from learnablepoolingmethods_tpu.ops.int8_matmul import (
+            quantize_weight_int8,
+        )
+
+        w_q, w_s = quantize_weight_int8(p["hidden1_weights"])
+        hidden = {"hidden_w_q": jnp.asarray(w_q), "hidden_w_s": jnp.asarray(w_s)}
+    else:
+        hidden = {"hidden_w": p["hidden1_weights"].astype(ct)}
     return {
         "w_proj": p["input_proj"]["kernel"].astype(ct),
         "b_proj": p["input_proj"]["bias"].astype(jnp.float32),
@@ -496,7 +510,7 @@ def prepare_fast_attn_netvlad_params(
         "c2": vp["cluster_weights2"].astype(jnp.float32).reshape(
             vp["cluster_weights"].shape
         ),
-        "hidden_w": p["hidden1_weights"].astype(ct),
+        **hidden,
         "hidden_b": p["hidden1_biases"].astype(jnp.float32),
         "gate_w": p["gating"]["gating_weights"].astype(ct),
         "g_scale": g_scale,
@@ -559,13 +573,21 @@ def build_fast_attn_netvlad_inference(
             h, fp["cluster"], fp["c_scale"], fp["c_bias"], fp["c2"], **kw
         ).reshape(b, -1)
 
-        h2 = (
-            jnp.matmul(
-                vlad.astype(ct), fp["hidden_w"],
-                preferred_element_type=jnp.float32,
+        if "hidden_w_q" in fp:
+            from learnablepoolingmethods_tpu.ops.int8_matmul import matmul_wi8
+
+            h2 = (
+                matmul_wi8(vlad, fp["hidden_w_q"], fp["hidden_w_s"])
+                + fp["hidden_b"]
             )
-            + fp["hidden_b"]
-        )
+        else:
+            h2 = (
+                jnp.matmul(
+                    vlad.astype(ct), fp["hidden_w"],
+                    preferred_element_type=jnp.float32,
+                )
+                + fp["hidden_b"]
+            )
         return gated_moe_tail(fp, h2, m, v, ct, top_k, return_probs)
 
     return forward

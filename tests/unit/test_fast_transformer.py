@@ -227,3 +227,51 @@ def test_fast_transformer_rejects_non_moe_head(rng):
     )
     with pytest.raises(ValueError, match="MoeModel classifier"):
         prepare_fast_transformer_params(variables, cfg)
+
+
+def test_fast_attn_netvlad_int8_hidden(rng):
+    """int8 weight-only hidden FC on the attn-NetVLAD fast path: same
+    mechanism/shape as the NetVLAD path's measured +14%; outputs must stay
+    within the int8 rounding envelope of the bf16 path."""
+    from learnablepoolingmethods_tpu.ops.fast_transformer import (
+        build_fast_attn_netvlad_inference,
+        prepare_fast_attn_netvlad_params,
+    )
+
+    cfg = dataclasses.replace(CFG, netvlad_cluster_size=4)
+    model = create_model("AttentionNetVLADModel", cfg)
+    feats_u8 = rng.integers(0, 256, size=(B, F, DIN), dtype=np.uint8)
+    nf = np.array([F, 4, 2], np.int32)
+    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        x, num_frames=jnp.asarray(nf), training=True,
+    )
+    fp16 = prepare_fast_attn_netvlad_params(
+        variables, cfg, compute_dtype=jnp.float32
+    )
+    fp8 = prepare_fast_attn_netvlad_params(
+        variables, cfg, compute_dtype=jnp.float32, int8_hidden=True
+    )
+    assert "hidden_w_q" in fp8 and fp8["hidden_w_q"].dtype == jnp.int8
+    fwd = build_fast_attn_netvlad_inference(
+        cfg, use_pallas=False, compute_dtype=jnp.float32, return_probs=True
+    )
+    p16 = fwd(fp16, jnp.asarray(feats_u8), jnp.asarray(nf))
+    p8 = fwd(fp8, jnp.asarray(feats_u8), jnp.asarray(nf))
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p16), atol=5e-2)
+    # probabilities stay rank-plausible: top-1 agreement on this tiny net
+    assert (
+        np.argmax(np.asarray(p8), axis=1)
+        == np.argmax(np.asarray(p16), axis=1)
+    ).mean() >= 0.67
+
+
+def test_dispatch_int8_capable_models():
+    from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+        int8_capable_models,
+    )
+
+    assert set(int8_capable_models()) == {
+        "NetVLADModelLF", "AttentionNetVLADModel",
+    }
