@@ -149,6 +149,7 @@ def _our_stack_metrics(data_pattern, ckpt, model_name, *, frame_features,
     FLAGS.dcn_parallelism = 1
     FLAGS.use_grain = False
     FLAGS.packed_cache_dir = ""
+    FLAGS.int8_hidden = False  # sticky across parametrized runs otherwise
     for name, val in dict(extra_flags).items():
         setattr(FLAGS, name, val)
     return eval_cli.evaluation_loop()
@@ -1027,6 +1028,19 @@ def test_gap_parity_attention_models(attn2_drill, model_name):
     )
     assert tf_info["gap"] > 0.2, f"drill model did not train ({tf_info['gap']})"
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
+
+    if model_name == "AttentionNetVLADModel":
+        # the int8-hidden fast path must also hold the 1e-3 GAP budget on
+        # this trained set (the NetVLAD path's analog measured 3.1e-4)
+        i8_info = _our_stack_metrics(
+            data, ckpts[model_name], model_name, frame_features=True,
+            feature_names="rgb,audio", feature_sizes=f"{FL_RGB},{FL_AUD}",
+            fast_forward=True,
+            extra_flags={**ATTN2_FLAGS, "int8_hidden": True},
+        )
+        d8 = abs(tf_info["gap"] - i8_info["gap"])
+        print(f"GAP-parity drill [attn-netvlad int8]: Δ={d8:.2e}")
+        assert d8 <= 1e-3, (tf_info["gap"], i8_info["gap"])
 
 
 # ---------------------------------------------------------------------------
