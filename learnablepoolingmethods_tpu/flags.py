@@ -29,8 +29,9 @@ def define_int8_hidden_flag():
             "int8_hidden",
             False,
             "With the fused forward (--fast_infer/--fast_forward/"
-            "--fast_serve) on NetVLADModelLF/AttentionNetVLADModel: store "
-            "the giant hidden FC "
+            "--fast_serve) on the giant-hidden-FC models (NetVLADModelLF, "
+            "AttentionNetVLADModel, NetFVModelLF, NetRVLADModelLF): store "
+            "the hidden FC "
             "weight int8 (per-column scales, convert fused into the dot by "
             "XLA — ops/int8_matmul.py). ~1.8x on the HBM-bound FC stage, "
             "+14% e2e at B=256; |dGAP| inside the 1e-3 budget (BASELINE.md).",

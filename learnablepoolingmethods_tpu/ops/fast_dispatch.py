@@ -17,7 +17,8 @@ per model family:
   builders without a Pallas kernel accept and ignore it.
 - ``supports_int8``: whether ``prepare`` honors the weight-only int8
   hidden FC (ops/int8_matmul.py) — the models with the giant D·K hidden
-  FC: NetVLADModelLF and AttentionNetVLADModel.
+  FC: NetVLADModelLF, AttentionNetVLADModel, NetFVModelLF,
+  NetRVLADModelLF.
 
 Imports are deferred inside each factory so importing this module stays
 cheap for CLIs that never take a fast path.
@@ -49,8 +50,7 @@ def _reject_int8(model_name: str, int8_hidden: bool) -> None:
     if int8_hidden:
         raise ValueError(
             "int8_hidden is only supported on the models with the giant "
-            f"D*K hidden FC (NetVLADModelLF, AttentionNetVLADModel), not "
-            f"{model_name}"
+            f"D*K hidden FC ({int8_capable_models()}), not {model_name}"
         )
 
 
@@ -100,6 +100,9 @@ def _dbof() -> FastPath:
     return FastPath(prepare, build, supports_int8=False)
 
 
+_LF_INT8 = ("NetFVModelLF", "NetRVLADModelLF")  # giant-FC LF models
+
+
 def _lf(model_name: str) -> FastPath:
     from learnablepoolingmethods_tpu.ops.fast_lf import (
         build_fast_lf_inference,
@@ -107,8 +110,11 @@ def _lf(model_name: str) -> FastPath:
     )
 
     def prepare(variables, mcfg, int8_hidden=False):
-        _reject_int8(model_name, int8_hidden)
-        return prepare_fast_lf_params(variables, mcfg, model_name)
+        if model_name not in _LF_INT8:
+            _reject_int8(model_name, int8_hidden)
+        return prepare_fast_lf_params(
+            variables, mcfg, model_name, int8_hidden=int8_hidden
+        )
 
     def build(mcfg, top_k=20, use_pallas=True, pallas_interpret=False,
               return_probs=False):
@@ -117,7 +123,7 @@ def _lf(model_name: str) -> FastPath:
             pallas_interpret=pallas_interpret, return_probs=return_probs,
         )
 
-    return FastPath(prepare, build, supports_int8=False)
+    return FastPath(prepare, build, supports_int8=model_name in _LF_INT8)
 
 
 def _transformer() -> FastPath:

@@ -811,6 +811,32 @@ def test_gap_parity_lf_variants(lf_drill, model_name):
     assert d <= 1e-3, (tf_info["gap"], our_info["gap"])
     assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
 
+    if model_name == "NetFVModelLF":
+        # int8-hidden accuracy on this trained set, measured the way the
+        # NetVLAD +14% row was: fused eval bf16 vs int8 under IDENTICAL
+        # rng (same sampled frames → the delta isolates the int8 weights).
+        # The drill's deterministic contiguous-window eval itself cannot
+        # take the fast path (it samples iid by design), so the oracle
+        # here is the fused bf16 eval, itself drill-validated above via
+        # the flax default path.
+        kw = dict(
+            frame_features=True, feature_names="rgb,audio",
+            feature_sizes=f"{FL_RGB},{FL_AUD}", fast_forward=True,
+        )
+        f16_info = _our_stack_metrics(
+            data, ckpts[model_name], model_name, **kw,
+            extra_flags={**LF_FLAGS, "sample_random_frames": True},
+        )
+        i8_info = _our_stack_metrics(
+            data, ckpts[model_name], model_name, **kw,
+            extra_flags={
+                **LF_FLAGS, "sample_random_frames": True, "int8_hidden": True,
+            },
+        )
+        d8 = abs(f16_info["gap"] - i8_info["gap"])
+        print(f"GAP-parity drill [netfv int8 vs fused bf16]: Δ={d8:.2e}")
+        assert d8 <= 1e-3, (f16_info["gap"], i8_info["gap"])
+
 
 # ---------------------------------------------------------------------------
 # FrameLevelLogisticModel + the remaining attention models — the matrix is

@@ -274,4 +274,5 @@ def test_dispatch_int8_capable_models():
 
     assert set(int8_capable_models()) == {
         "NetVLADModelLF", "AttentionNetVLADModel",
+        "NetFVModelLF", "NetRVLADModelLF",
     }
