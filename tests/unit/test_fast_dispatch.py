@@ -36,9 +36,13 @@ def test_registry_covers_every_fast_model():
     assert get_fast_path("LstmModel") is None
 
 
-def test_only_netvlad_supports_int8():
+def test_giant_fc_models_support_int8():
+    """int8 is exactly the giant-hidden-FC set (where HBM-weight-bound
+    stages exist for it to pay)."""
+    giant = {"NetVLADModelLF", "AttentionNetVLADModel",
+             "NetFVModelLF", "NetRVLADModelLF"}
     for name in EXPECTED:
-        assert get_fast_path(name).supports_int8 == (name == "NetVLADModelLF")
+        assert get_fast_path(name).supports_int8 == (name in giant), name
 
 
 def test_non_netvlad_prepare_rejects_int8():
