@@ -104,7 +104,7 @@ def evaluate_checkpoint(step_num, tree, model, loss_obj, fcfg, mcfg):
         if not FLAGS.fast_forward or FLAGS.model not in int8_capable_models():
             raise ValueError(
                 "--int8_hidden requires --fast_forward with one of "
-                f"{{int8_capable_models()}}"
+                f"{int8_capable_models()}"
             )
     if FLAGS.fast_forward:
         from learnablepoolingmethods_tpu.ops import metrics_ops

@@ -261,15 +261,21 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False,
             model, mcfg, fcfg.frame_features, top_k=meta["top_k"]
         )
     )
-    if int8_hidden and (
-        not prefer_fast
-        or meta["model"] != "NetVLADModelLF"
-        or not fcfg.frame_features
-    ):
-        raise ValueError(
-            "int8_hidden requires the fast path (prefer_fast/--fast_serve) "
-            "on a frame-level NetVLADModelLF export"
+    if int8_hidden:
+        from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+            int8_capable_models,
         )
+
+        if (
+            not prefer_fast
+            or meta["model"] not in int8_capable_models()
+            or not fcfg.frame_features
+        ):
+            raise ValueError(
+                "int8_hidden requires the fast path (prefer_fast/"
+                "--fast_serve) on a frame-level export of one of "
+                f"{int8_capable_models()}"
+            )
     fast_predict = None
     if prefer_fast and fcfg.frame_features:
         fast_predict = _try_fast_predict(
@@ -280,7 +286,7 @@ def load_exported_model(export_dir: str, prefer_fast: bool = False,
         if int8_hidden and fast_predict is None:
             raise ValueError(
                 "int8_hidden requested but this export's config has no "
-                "fast path (non-Willow NetVLAD config)"
+                "fast path (non-default pooling config)"
             )
 
     def serve(serialized_records: List[bytes]):

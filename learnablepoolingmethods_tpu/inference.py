@@ -105,7 +105,7 @@ def inference(train_dir, data_pattern, out_file_location, batch_size, top_k):
         if not FLAGS.fast_infer or FLAGS.model not in int8_capable_models():
             raise ValueError(
                 "--int8_hidden requires --fast_infer with one of "
-                f"{{int8_capable_models()}}"
+                f"{int8_capable_models()}"
             )
     if FLAGS.fast_infer:
         variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}

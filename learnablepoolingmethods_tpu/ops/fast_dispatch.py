@@ -39,6 +39,8 @@ FAST_LF_MODELS = (
     "NeXtVLADModel",
 )
 
+_LF_INT8 = ("NetFVModelLF", "NetRVLADModelLF")  # giant-FC LF models
+
 
 class FastPath(NamedTuple):
     prepare: Callable[..., Dict[str, Any]]
@@ -55,10 +57,13 @@ def _reject_int8(model_name: str, int8_hidden: bool) -> None:
 
 
 def int8_capable_models() -> Tuple[str, ...]:
-    """Model names whose fast path honors --int8_hidden."""
-    return tuple(
-        name for name, make in _factories().items() if make().supports_int8
-    )
+    """Model names whose fast path honors --int8_hidden.  Static: callers
+    validate flags / render error messages with it, which must not import
+    the kernel modules (the factories defer those imports on purpose);
+    test_fast_dispatch pins it against the registry's supports_int8."""
+    return (
+        "NetVLADModelLF", "AttentionNetVLADModel",
+    ) + _LF_INT8
 
 
 def _netvlad() -> FastPath:
@@ -98,9 +103,6 @@ def _dbof() -> FastPath:
         )
 
     return FastPath(prepare, build, supports_int8=False)
-
-
-_LF_INT8 = ("NetFVModelLF", "NetRVLADModelLF")  # giant-FC LF models
 
 
 def _lf(model_name: str) -> FastPath:

@@ -226,6 +226,16 @@ class BatchingQueue:
     def run_forever(self):
         while self._run_one():
             pass
+        # shutdown: nothing consumes the queue anymore — fail any
+        # stragglers loudly instead of leaving their handler threads to
+        # block the full Future timeout
+        while True:
+            try:
+                nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is not self._SHUTDOWN:
+                nxt[1].set_exception(RuntimeError("server shutting down"))
 
     def _run_one(self) -> bool:
         item = self._q.get()

@@ -496,6 +496,10 @@ struct BatchHub {
   std::atomic<uint64_t> stat_requests{0}, stat_executes{0}, stat_rows{0},
       stat_coalesced{0};
   std::atomic<int32_t> active_conns{0};
+  // set UNDER mu before the batch leaves the queue: the graceful-shutdown
+  // drain must see in-flight work, or main could destroy the stack-local
+  // Server while the executor still dereferences it
+  std::atomic<int32_t> busy{0};
 
   // bounded: the old one-request-at-a-time loop had implicit
   // backpressure; the queue must not grow without limit when clients
@@ -542,6 +546,7 @@ struct BatchHub {
       {
         std::unique_lock<std::mutex> lk(mu);
         cv.wait(lk, [&] { return !queue.empty(); });
+        busy.store(1);
         batch.push_back(std::move(queue.front()));
         queue.pop_front();
         if (static_cast<int64_t>(batch[0].recs.size()) < B) {
@@ -563,6 +568,7 @@ struct BatchHub {
         }
       }
       Process(std::move(batch));
+      busy.store(0);
     }
   }
 
@@ -804,11 +810,14 @@ int main(int argc, char** argv) {
     hub.active_conns++;
     std::thread([fd] { hub.HandleConn(fd); }).detach();
   }
-  // drain: let queued requests get their replies before exiting
+  // drain: let queued AND in-flight requests get their replies before
+  // exiting (busy covers the batch the executor already popped)
   for (int i = 0; i < 300; i++) {
     {
       std::lock_guard<std::mutex> lk(hub.mu);
-      if (hub.queue.empty() && hub.active_conns.load() == 0) break;
+      if (hub.queue.empty() && hub.active_conns.load() == 0 &&
+          hub.busy.load() == 0)
+        break;
     }
     usleep(100 * 1000);
   }

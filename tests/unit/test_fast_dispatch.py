@@ -88,3 +88,15 @@ def test_netvlad_build_and_prepare_roundtrip():
     vals, idxs = fn(fp, jnp.asarray(feats), jnp.asarray(nf), jax.random.key(0))
     assert vals.shape == (2, 3) and idxs.shape == (2, 3)
     assert np.isfinite(np.asarray(vals)).all()
+
+
+def test_int8_capable_models_static_list_matches_registry():
+    """int8_capable_models() is deliberately static (flag validation must
+    not import the kernel modules) — pin it to the registry's truth."""
+    from learnablepoolingmethods_tpu.ops.fast_dispatch import (
+        int8_capable_models,
+    )
+
+    assert set(int8_capable_models()) == {
+        n for n in fast_path_models() if get_fast_path(n).supports_int8
+    }
