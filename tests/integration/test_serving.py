@@ -402,3 +402,21 @@ def test_batching_queue_bounded():
         q.submit([b"r"])
     with _pytest.raises(queue_mod.Full):
         q.submit([b"r"])
+
+
+def test_batching_queue_shutdown_fails_stragglers():
+    """Requests queued behind the shutdown sentinel must get a clear
+    exception, not a silent 300 s Future timeout."""
+    import pytest as _pytest
+
+    from learnablepoolingmethods_tpu import serving
+
+    class _Noop:
+        batch_size = 4
+
+    q = serving.BatchingQueue(_Noop())
+    q.shutdown()
+    fut = q.submit([b"r"])  # straggler behind the sentinel
+    q.run_forever()  # consumes SHUTDOWN, then drains + fails stragglers
+    with _pytest.raises(RuntimeError, match="shutting down"):
+        fut.result(timeout=5)
