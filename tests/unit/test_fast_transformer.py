@@ -265,14 +265,3 @@ def test_fast_attn_netvlad_int8_hidden(rng):
         np.argmax(np.asarray(p8), axis=1)
         == np.argmax(np.asarray(p16), axis=1)
     ).mean() >= 0.67
-
-
-def test_dispatch_int8_capable_models():
-    from learnablepoolingmethods_tpu.ops.fast_dispatch import (
-        int8_capable_models,
-    )
-
-    assert set(int8_capable_models()) == {
-        "NetVLADModelLF", "AttentionNetVLADModel",
-        "NetFVModelLF", "NetRVLADModelLF",
-    }
