@@ -193,6 +193,79 @@ def test_concurrent_requests_coalesce(artifact):
         proc.wait()
 
 
+def test_sustained_mixed_load(artifact):
+    """6 threads × 8 posts of mixed sizes (1..6 records, including >B=4
+    oversized solo-path requests) against the default 2 ms linger: every
+    response correct vs the jax oracle, server healthy afterwards."""
+    import threading
+
+    from learnablepoolingmethods_tpu import serving
+    from learnablepoolingmethods_tpu.data import tfrecord_io
+
+    export_dir, data_path = artifact
+    binary = nr.build_serving_binary()
+    port = 22620 + (os.getpid() % 997)
+    proc = subprocess.Popen(
+        [binary, f"--export_dir={export_dir}", f"--port={port}"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        deadline = time.time() + 280
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                break
+            assert proc.poll() is None, "lpm_serve exited early"
+
+        records = list(tfrecord_io.read_tfrecords(data_path))  # 7 records
+        jax_server = serving.ModelServer(export_dir, B)
+        want = jax_server.predict_pairs(records)
+
+        errors = []
+
+        def client(tid):
+            try:
+                for j in range(8):
+                    n = 1 + (tid + j) % 6  # 1..6 records (5,6 are > B)
+                    sel = [(tid + j + i) % len(records) for i in range(n)]
+                    body = serving.frame_records([records[i] for i in sel])
+                    conn = http.client.HTTPConnection(
+                        "127.0.0.1", port, timeout=120
+                    )
+                    conn.request("POST", "/predict", body=body)
+                    resp = conn.getresponse()
+                    assert resp.status == 200, resp.status
+                    preds = json.loads(resp.read())["predictions"]
+                    assert len(preds) == n
+                    for local_i, rec_i in enumerate(sel):
+                        p = preds[local_i]
+                        assert p["video_index"] == local_i
+                        assert p["classes"] == want[rec_i][0], (tid, j)
+                        np.testing.assert_allclose(
+                            p["scores"], want[rec_i][1], atol=2e-6
+                        )
+            except Exception as e:  # noqa: BLE001
+                errors.append((tid, repr(e)))
+
+        threads = [threading.Thread(target=client, args=(t,)) for t in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b"ok"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/statz")
+        stats = json.loads(conn.getresponse().read())
+        assert stats["requests"] == 48
+    finally:
+        proc.kill()
+        proc.wait()
+
+
 def test_graceful_sigterm(artifact):
     """SIGTERM closes the listen socket and exits 0 after draining —
     container orchestration contract (previously required SIGKILL)."""
