@@ -86,20 +86,26 @@ def _attention_kernel(qkv_ref, mask_ref, out_ref, *, num_heads):
 ATTN_BLOCK = 128
 
 
-def _attention_kernel_skip(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
+def _attention_kernel_skip(nf_ref, qkv_ref, out_ref, *, num_heads):
     """Block-skipping variant: 128-row query/key blocks entirely past
     ``num_frames`` are skipped on an SMEM scalar branch.  Key blocks past
     nf contribute exp(-1e9-max)=0 exactly in f32, so valid-row outputs
     match the dense kernel up to f32 summation order; dead QUERY blocks
     write zeros — their rows are don't-cares downstream (mean-pool /
     NetVLAD multiply by the mask, and as next-layer keys they are re-masked
-    by ``neg``).  Attention work scales ~(nf/F)² per video."""
+    here).  Attention work scales ~(nf/F)² per video.
+
+    The additive key mask is rebuilt per block from ``nf`` with a 2-D
+    ``broadcasted_iota`` (key_id < nf ? 0 : -1e9): real Mosaic rejects the
+    dense kernel's [1, F] neg-row broadcast when it sits inside lax.cond
+    ("Invalid input layout" on vector.broadcast 1×128→128×128 — first
+    on-chip run caught it), and iota-compare is layout-trivial.  This makes
+    the mask input redundant (it IS arange < num_frames for every caller)."""
     _, f, dm3 = qkv_ref.shape
     dm = dm3 // 3
     hd = dm // num_heads
     scale = 1.0 / (hd ** 0.5)
-    nf = nf_ref[0]
-    neg = (1.0 - mask_ref[0]) * -1e9  # [1, F]
+    nf = nf_ref[pl.program_id(0)]
     starts = list(range(0, f, ATTN_BLOCK))
 
     for qs in starts:
@@ -113,17 +119,22 @@ def _attention_kernel_skip(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
                 for s in starts:
                     sz = min(ATTN_BLOCK, f - s)
 
-                    def compute(q=q, s=s, sz=sz, h=h):
+                    def compute(q=q, s=s, sz=sz, qsz=qsz, h=h):
                         k = qkv_ref[
                             0, s : s + sz, dm + h * hd : dm + (h + 1) * hd
                         ]
+                        key_ids = (
+                            jax.lax.broadcasted_iota(jnp.int32, (qsz, sz), 1)
+                            + s
+                        )
+                        negb = jnp.where(key_ids < nf, 0.0, -1e9)
                         return (
                             jax.lax.dot_general(
                                 q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
                             * scale
-                            + neg[:, s : s + sz]
+                            + negb
                         )
 
                     if s == 0:
@@ -228,18 +239,22 @@ def masked_attention_fused(
 
     if num_frames is not None:
         kern = functools.partial(_attention_kernel_skip, num_heads=num_heads)
-        spec_nf = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+        # Full [B] vector in SMEM, indexed by pl.program_id(0): real Mosaic
+        # rejects per-video (1,)/(1,1) SMEM scalar blocks (interpret mode
+        # does not — first on-chip run caught this).  The skip kernel
+        # derives the key mask from num_frames itself (see its docstring),
+        # so `mask` is not passed; callers' masks are arange < num_frames.
+        spec_nf = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kern,
             grid=(b,),
-            in_specs=[spec_nf, spec_in, spec_m],
+            in_specs=[spec_nf, spec_in],
             out_specs=spec_out,
             out_shape=jax.ShapeDtypeStruct((b, f, dm), qkv.dtype),
             interpret=interpret,
         )(
             jnp.minimum(jnp.asarray(num_frames, jnp.int32).reshape(b), f),
             qkv,
-            mask.astype(jnp.float32)[:, None, :],
         )
 
     kern = functools.partial(_attention_kernel, num_heads=num_heads)

@@ -53,8 +53,8 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
                  block_skip: bool = False, frame_block: int = FRAME_BLOCK):
     def kernel(
         *refs,
-        # with block_skip an extra leading nf_ref ([1] int32, SMEM) is
-        # prepended to the argument list
+        # with block_skip an extra leading nf_ref (full [B] int32, SMEM,
+        # indexed by pl.program_id(0)) is prepended to the argument list
     ):
         if block_skip:
             nf_ref, x_ref = refs[0], refs[1]
@@ -104,7 +104,7 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
             # at or past num_frames are never sampled — skip their VPU
             # dequant/ℓ2/BN passes and MXU partial entirely (bit-exact:
             # the skipped partials are exact zeros).  Block 0 always runs.
-            nf = nf_ref[0]
+            nf = nf_ref[pl.program_id(0)]
             acc = pipeline_block(0, min(frame_block, f))
             for s0 in range(frame_block, f, frame_block):
                 sz = min(frame_block, f - s0)
@@ -175,8 +175,14 @@ def netvlad_frontend_fused(
     )
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
 
+    # num_frames rides as the FULL [B] vector in SMEM and the kernel indexes
+    # it by pl.program_id(0): real Mosaic only lowers rank-1 blocks that are
+    # the whole dim (or a 128-multiple) and applies the (8,128) rule to 2-D
+    # blocks even in SMEM — per-video (1,)/(1,1) scalars are both rejected
+    # (interpret mode accepted them; the tunnel-down round shipped that
+    # dormant and the first on-chip run caught it).  B int32s ≪ SMEM.
     skip_specs = (
-        [pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)]
+        [pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)]
         if block_skip
         else []
     )

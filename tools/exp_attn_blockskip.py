@@ -29,13 +29,16 @@ BLOCK = 128
 def _skip_kernel(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
     _, f, dm3 = qkv_ref.shape
     dm = dm3 // 3
     hd = dm // num_heads
     scale = 1.0 / (hd ** 0.5)
-    nf = nf_ref[0]
-    neg = (1.0 - mask_ref[0]) * -1e9  # [1, F]
+    del mask_ref  # mask rebuilt from nf via iota (Mosaic rejects the
+    # [1,sz] neg-row broadcast inside lax.cond; same fix as the shipped
+    # q+k kernel in ops/fast_transformer.py#_attention_kernel_skip)
+    nf = nf_ref[pl.program_id(0)]
     starts = list(range(0, f, BLOCK))
 
     for h in range(num_heads):
@@ -47,13 +50,17 @@ def _skip_kernel(nf_ref, qkv_ref, mask_ref, out_ref, *, num_heads):
 
             def compute(q=q, s=s, sz=sz, h=h):
                 k = qkv_ref[0, s : s + sz, dm + h * hd : dm + (h + 1) * hd]
+                key_ids = (
+                    jax.lax.broadcasted_iota(jnp.int32, (f, sz), 1) + s
+                )
+                negb = jnp.where(key_ids < nf, 0.0, -1e9)
                 return (
                     jax.lax.dot_general(
                         q, k, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     * scale
-                    + neg[:, s : s + sz]
+                    + negb
                 )
 
             if s == 0:
@@ -124,7 +131,7 @@ def masked_attention_skip(qkv, num_frames, mask, num_heads, interpret=False):
 
     b, f, dm3 = qkv.shape
     dm = dm3 // 3
-    spec_nf = pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM)
+    spec_nf = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
     spec_in = pl.BlockSpec((1, f, dm3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_m = pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, f, dm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -137,7 +144,7 @@ def masked_attention_skip(qkv, num_frames, mask, num_heads, interpret=False):
         out_shape=jax.ShapeDtypeStruct((b, f, dm), qkv.dtype),
         interpret=interpret,
     )(
-        num_frames.astype(jnp.int32),
+        num_frames.astype(jnp.int32).reshape(b),
         qkv,
         mask.astype(jnp.float32)[:, None, :],
     )
@@ -222,13 +229,23 @@ def main():
     t = timeit(lambda dep: dense(dep, qkv, mask))
     print(f"dense kernel  (nf~U[10,300]): {t*1e3:.2f} ms/layer")
 
+    # k-only comparison arm: real Mosaic rejects its [1,128]→[300,128]
+    # neg-broadcast inside lax.cond (full-F query rows; 300 % 8 != 0) even
+    # though the dense kernel's identical [1,300]→[300,300] add lowers fine
+    # outside cond.  Not worth restructuring — the SHIPPED kernel is the
+    # q+k variant below (128-row query blocks); keep the arm best-effort.
     skip = jax.jit(
         lambda dep, qkv, n, m: masked_attention_skip(
             qkv + dep.astype(jnp.bfloat16), n, m, H
         )
     )
-    t = timeit(lambda dep: skip(dep, qkv, nf, mask))
-    print(f"skip kernel   (nf~U[10,300]): {t*1e3:.2f} ms/layer")
+    skip_ok = True
+    try:
+        t = timeit(lambda dep: skip(dep, qkv, nf, mask))
+        print(f"skip kernel   (nf~U[10,300]): {t*1e3:.2f} ms/layer")
+    except Exception as e:  # noqa: BLE001 — measurement tool
+        skip_ok = False
+        print(f"skip kernel   (k-only arm): DID NOT COMPILE ({type(e).__name__})")
 
     qkskip = jax.jit(
         lambda dep, qkv, n, m: masked_attention_fused(
@@ -238,10 +255,10 @@ def main():
     t = timeit(lambda dep: qkskip(dep, qkv, nf, mask))
     print(f"qk-skip kernel(nf~U[10,300]): {t*1e3:.2f} ms/layer")
 
-    # on-chip parity spot check (bf16)
+    # on-chip parity spot check (bf16) against the SHIPPED qk-skip kernel
     r = np.asarray(dense(jnp.zeros((), jnp.float32), qkv, mask), np.float32)
     g = np.asarray(
-        skip(jnp.zeros((), jnp.float32), qkv, nf, mask), np.float32
+        qkskip(jnp.zeros((), jnp.float32), qkv, nf, mask), np.float32
     )
     err = 0.0
     for i in range(B):
@@ -252,8 +269,9 @@ def main():
     m_full = jax.device_put(jnp.ones((B, F), jnp.float32))
     t = timeit(lambda dep: dense(dep, qkv, m_full))
     print(f"dense kernel  (nf=300 worst): {t*1e3:.2f} ms/layer")
-    t = timeit(lambda dep: skip(dep, qkv, nf_full, m_full))
-    print(f"skip kernel   (nf=300 worst): {t*1e3:.2f} ms/layer")
+    if skip_ok:
+        t = timeit(lambda dep: skip(dep, qkv, nf_full, m_full))
+        print(f"skip kernel   (nf=300 worst): {t*1e3:.2f} ms/layer")
     t = timeit(lambda dep: qkskip(dep, qkv, nf_full, m_full))
     print(f"qk-skip kernel(nf=300 worst): {t*1e3:.2f} ms/layer")
 
