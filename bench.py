@@ -49,7 +49,6 @@ def bench(
     iters: int = 32,
     use_pallas: bool = True,
     int8_hidden: bool = False,
-    frontend_block_skip: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -81,10 +80,7 @@ def bench(
         )
     )
     predict = jax.jit(
-        build_fast_netvlad_inference(
-            cfg, top_k=20, use_pallas=use_pallas,
-            frontend_block_skip=frontend_block_skip,
-        )
+        build_fast_netvlad_inference(cfg, top_k=20, use_pallas=use_pallas)
     )
 
     features = jax.device_put(

@@ -185,7 +185,6 @@ def build_fast_netvlad_inference(
     compute_dtype=jnp.bfloat16,
     fuse_frontend: bool = True,
     return_probs: bool = False,
-    frontend_block_skip: bool = False,
 ):
     """Return fn(fast_params, features, num_frames, rng, presampled=False)
     → (values [B,k], indices [B,k]) — or the full probability matrix
@@ -236,9 +235,6 @@ def build_fast_netvlad_inference(
                 fp["in_scale"], fp["in_bias"],
                 fp["rgb"]["cluster"], fp["rgb"]["scale"], fp["rgb"]["bias"], fp["rgb"]["c2"],
                 fp["aud"]["cluster"], fp["aud"]["scale"], fp["aud"]["bias"], fp["aud"]["c2"],
-                # bit-exact frame-block skipping (fused_frontend.py) —
-                # dormant until measured on the chip
-                num_frames=num_frames if frontend_block_skip else None,
                 interpret=pallas_interpret,
             )
             vlad_rgb = out_rgb.reshape(b, d_rgb * k_rgb)

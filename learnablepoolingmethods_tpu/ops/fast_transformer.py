@@ -83,151 +83,18 @@ def _attention_kernel(qkv_ref, mask_ref, out_ref, *, num_heads):
         out_ref[0, :, h * hd : (h + 1) * hd] = out.astype(out_ref.dtype)
 
 
-ATTN_BLOCK = 128
-
-
-def _attention_kernel_skip(nf_ref, qkv_ref, out_ref, *, num_heads):
-    """Block-skipping variant: 128-row query/key blocks entirely past
-    ``num_frames`` are skipped on an SMEM scalar branch.  Key blocks past
-    nf contribute exp(-1e9-max)=0 exactly in f32, so valid-row outputs
-    match the dense kernel up to f32 summation order; dead QUERY blocks
-    write zeros — their rows are don't-cares downstream (mean-pool /
-    NetVLAD multiply by the mask, and as next-layer keys they are re-masked
-    here).  Attention work scales ~(nf/F)² per video.
-
-    The additive key mask is rebuilt per block from ``nf`` with a 2-D
-    ``broadcasted_iota`` (key_id < nf ? 0 : -1e9): real Mosaic rejects the
-    dense kernel's [1, F] neg-row broadcast when it sits inside lax.cond
-    ("Invalid input layout" on vector.broadcast 1×128→128×128 — first
-    on-chip run caught it), and iota-compare is layout-trivial.  This makes
-    the mask input redundant (it IS arange < num_frames for every caller)."""
-    _, f, dm3 = qkv_ref.shape
-    dm = dm3 // 3
-    hd = dm // num_heads
-    scale = 1.0 / (hd ** 0.5)
-    nf = nf_ref[pl.program_id(0)]
-    starts = list(range(0, f, ATTN_BLOCK))
-
-    for qs in starts:
-        qsz = min(ATTN_BLOCK, f - qs)
-
-        def q_block(qs=qs, qsz=qsz):
-            for h in range(num_heads):
-                q = qkv_ref[0, qs : qs + qsz, h * hd : (h + 1) * hd]
-
-                lblks = []
-                for s in starts:
-                    sz = min(ATTN_BLOCK, f - s)
-
-                    def compute(q=q, s=s, sz=sz, qsz=qsz, h=h):
-                        k = qkv_ref[
-                            0, s : s + sz, dm + h * hd : dm + (h + 1) * hd
-                        ]
-                        key_ids = (
-                            jax.lax.broadcasted_iota(jnp.int32, (qsz, sz), 1)
-                            + s
-                        )
-                        negb = jnp.where(key_ids < nf, 0.0, -1e9)
-                        return (
-                            jax.lax.dot_general(
-                                q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-                            * scale
-                            + negb
-                        )
-
-                    if s == 0:
-                        lblks.append(compute())
-                    else:
-                        lblks.append(
-                            jax.lax.cond(
-                                nf > s,
-                                compute,
-                                lambda sz=sz, qsz=qsz: jnp.full(
-                                    (qsz, sz), -1e9, jnp.float32
-                                ),
-                            )
-                        )
-
-                mx = functools.reduce(
-                    jnp.maximum,
-                    [jnp.max(lb, -1, keepdims=True) for lb in lblks],
-                )
-                eblks = []
-                for s, lb in zip(starts, lblks):
-                    sz = min(ATTN_BLOCK, f - s)
-                    if s == 0:
-                        eblks.append(jnp.exp(lb - mx))
-                    else:
-                        eblks.append(
-                            jax.lax.cond(
-                                nf > s,
-                                lambda lb=lb: jnp.exp(lb - mx),
-                                lambda sz=sz, qsz=qsz: jnp.zeros(
-                                    (qsz, sz), jnp.float32
-                                ),
-                            )
-                        )
-                inv = 1.0 / functools.reduce(
-                    jnp.add, [jnp.sum(e, -1, keepdims=True) for e in eblks]
-                )
-                acc = None
-                for s, e in zip(starts, eblks):
-                    sz = min(ATTN_BLOCK, f - s)
-
-                    def wv(s=s, sz=sz, h=h, e=e, inv=inv):
-                        v = qkv_ref[
-                            0,
-                            s : s + sz,
-                            2 * dm + h * hd : 2 * dm + (h + 1) * hd,
-                        ]
-                        return jax.lax.dot_general(
-                            (e * inv).astype(v.dtype), v,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-
-                    c = (
-                        wv()
-                        if s == 0
-                        else jax.lax.cond(
-                            nf > s, wv,
-                            lambda qsz=qsz: jnp.zeros((qsz, hd), jnp.float32),
-                        )
-                    )
-                    acc = c if acc is None else acc + c
-                out_ref[0, qs : qs + qsz, h * hd : (h + 1) * hd] = acc.astype(
-                    out_ref.dtype
-                )
-
-        if qs == 0:
-            q_block()  # nf ≥ 1 always: block 0 unconditional
-        else:
-            qlive = nf > qs
-
-            @pl.when(qlive)
-            def _(qb=q_block):
-                qb()
-
-            @pl.when(jnp.logical_not(qlive))
-            def _(qs=qs, qsz=qsz):
-                out_ref[0, qs : qs + qsz, :] = jnp.zeros(
-                    (qsz, dm), out_ref.dtype
-                )
-
-
-def masked_attention_fused(
-    qkv, mask, num_heads: int, num_frames=None, interpret: bool = False
-):
+def masked_attention_fused(qkv, mask, num_heads: int, interpret: bool = False):
     """qkv [B, F, 3·H·hd] (q‖k‖v on the last axis, bf16/f32), mask [B, F]
     (1 = valid key) → [B, F, H·hd].  Pad queries attend over valid keys
     only, matching the flax attn_mask construction
     (attention.py#TransformerEncoder).
 
-    ``num_frames`` ([B] int32, optional): enables query/key block skipping
-    (``_attention_kernel_skip``) — valid rows unchanged, dead query rows
-    come out zero instead of pad-garbage."""
+    (A num_frames-guided query/key block-skip variant measured SLOWER than
+    this dense kernel on-chip — 5.8 vs 4.5 ms/layer @ B=256 under
+    nf~U[10,300]: each Mosaic lax.cond region costs more than the ≤128-row
+    blocks it can skip at F=300, and the kernel needs ~9 regions per
+    (head, q-block).  Removed; BASELINE.md round-3 row has the numbers and
+    the two lowering landmines found en route.)"""
     b, f, dm3 = qkv.shape
     dm = dm3 // 3
     spec_in = pl.BlockSpec((1, f, dm3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -236,26 +103,6 @@ def masked_attention_fused(
     # Mosaic block-shape rule: last two dims divisible by (8, 128) OR equal
     # to the array's)
     spec_m = pl.BlockSpec((1, 1, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-
-    if num_frames is not None:
-        kern = functools.partial(_attention_kernel_skip, num_heads=num_heads)
-        # Full [B] vector in SMEM, indexed by pl.program_id(0): real Mosaic
-        # rejects per-video (1,)/(1,1) SMEM scalar blocks (interpret mode
-        # does not — first on-chip run caught this).  The skip kernel
-        # derives the key mask from num_frames itself (see its docstring),
-        # so `mask` is not passed; callers' masks are arange < num_frames.
-        spec_nf = pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)
-        return pl.pallas_call(
-            kern,
-            grid=(b,),
-            in_specs=[spec_nf, spec_in],
-            out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((b, f, dm), qkv.dtype),
-            interpret=interpret,
-        )(
-            jnp.minimum(jnp.asarray(num_frames, jnp.int32).reshape(b), f),
-            qkv,
-        )
 
     kern = functools.partial(_attention_kernel, num_heads=num_heads)
     return pl.pallas_call(
@@ -323,14 +170,9 @@ def _prepare_encoder_layers(enc, n_layers: int, ct):
     return layers
 
 
-def _encoder_apply(
-    layers, h, mask, heads, use_pallas, pallas_interpret, ct, num_frames=None
-):
+def _encoder_apply(layers, h, mask, heads, use_pallas, pallas_interpret, ct):
     """The shared fast encoder stack (fused QKV → attention kernel →
-    out-proj → residual+LN → FFN → residual+LN), bf16-materialized.
-    ``num_frames`` (optional) turns on attention block skipping — pad-row
-    values change (zeros instead of garbage) but every consumer masks
-    them."""
+    out-proj → residual+LN → FFN → residual+LN), bf16-materialized."""
     for lp in layers:
         qkv = (
             jnp.matmul(h, lp["wqkv"], preferred_element_type=jnp.float32)
@@ -339,8 +181,7 @@ def _encoder_apply(
         d_model = h.shape[-1]
         if use_pallas:
             attn = masked_attention_fused(
-                qkv, mask, heads, num_frames=num_frames,
-                interpret=pallas_interpret,
+                qkv, mask, heads, interpret=pallas_interpret
             )
         else:
             attn = attention_reference(
@@ -425,14 +266,11 @@ def build_fast_transformer_inference(
     pallas_interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     return_probs: bool = False,
-    block_skip: bool = False,
 ):
     """fn(fp, features, num_frames, rng, presampled=False) →
     (values [B,k], indices [B,k]) or probs [B,V].  ``rng``/``presampled``
     are accepted for dispatch-signature parity with the other fast paths
-    (the transformer consumes all frames; nothing is sampled).
-    ``block_skip``: num_frames-guided attention block skipping (pallas
-    path only; see _attention_kernel_skip)."""
+    (the transformer consumes all frames; nothing is sampled)."""
     m = mcfg.moe_num_mixtures
     v = mcfg.vocab_size
     heads = mcfg.attention_heads
@@ -456,8 +294,7 @@ def build_fast_transformer_inference(
         ).astype(ct)
 
         h = _encoder_apply(
-            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct,
-            num_frames=num_frames if block_skip else None,
+            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct
         )
 
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
@@ -543,7 +380,6 @@ def build_fast_attn_netvlad_inference(
     pallas_interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     return_probs: bool = False,
-    block_skip: bool = False,
 ):
     """AttentionNetVLADModel fast forward: the shared fast encoder stack,
     pad rows zeroed, then the fused NetVLAD kernel
@@ -575,8 +411,7 @@ def build_fast_attn_netvlad_inference(
             + fp["b_proj"]
         ).astype(ct)
         h = _encoder_apply(
-            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct,
-            num_frames=num_frames if block_skip else None,
+            fp["layers"], h, mask, heads, use_pallas, pallas_interpret, ct
         )
         # zero pads before clustering so they don't pollute assignments
         # (attention.py#AttentionNetVLADModel)

@@ -46,22 +46,10 @@ def sample_indices(rng, num_frames, max_frames: int, num_samples: int):
                        max_frames - 1)
 
 
-FRAME_BLOCK = 128
-
-
-def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
-                 block_skip: bool = False, frame_block: int = FRAME_BLOCK):
-    def kernel(
-        *refs,
-        # with block_skip an extra leading nf_ref (full [B] int32, SMEM,
-        # indexed by pl.program_id(0)) is prepended to the argument list
-    ):
-        if block_skip:
-            nf_ref, x_ref = refs[0], refs[1]
-            rest = refs[2:]
-        else:
-            x_ref = refs[0]
-            rest = refs[1:]
+def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int):
+    def kernel(*refs):
+        x_ref = refs[0]
+        rest = refs[1:]
         (
             idx_ref,      # [1, 1, S] int32
             in_scale_ref,  # [1, DT] f32 folded input-BN scale
@@ -81,10 +69,10 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
         s = idx_ref.shape[-1]
 
         def pipeline_block(s0, sz):
-            """dequant + per-frame ℓ2 + folded BN + one-hot partial matmul
-            for frame rows [s0, s0+sz) — rows are independent, so the split
-            is exact; each sampled row draws its value from exactly one
-            block and every other block contributes an exact f32 zero."""
+            """dequant + per-frame ℓ2 + folded BN + one-hot matmul for frame
+            rows [s0, s0+sz).  (A num_frames-guarded per-128-row-block skip
+            variant measured SLOWER on-chip — lax.cond region overhead beats
+            the ≤2 skippable blocks at F=300; BASELINE.md round-3 row.)"""
             xq = x_ref[0, s0 : s0 + sz, :]  # [sz, DT] uint8
             # (Mosaic has no direct uint8→f32 cast; hop through int32)
             xf = xq.astype(jnp.int32).astype(jnp.float32) * DEQ_SCALE + DEQ_BIAS
@@ -99,25 +87,9 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
             p = (frame_ids == idx_ref[0, 0][:, None]).astype(jnp.bfloat16)
             return jnp.dot(p, xb, preferred_element_type=jnp.float32)
 
-        if block_skip:
-            # sample_indices guarantees idx < num_frames, so frame blocks
-            # at or past num_frames are never sampled — skip their VPU
-            # dequant/ℓ2/BN passes and MXU partial entirely (bit-exact:
-            # the skipped partials are exact zeros).  Block 0 always runs.
-            nf = nf_ref[pl.program_id(0)]
-            acc = pipeline_block(0, min(frame_block, f))
-            for s0 in range(frame_block, f, frame_block):
-                sz = min(frame_block, f - s0)
-                acc = acc + jax.lax.cond(
-                    nf > s0,
-                    functools.partial(pipeline_block, s0, sz),
-                    lambda: jnp.zeros((s, dt), jnp.float32),
-                )
-            xs = acc.astype(jnp.bfloat16)  # [S, DT]
-        else:
-            xs = pipeline_block(0, f).astype(
-                jnp.bfloat16
-            )  # [S, DT] (MXU accumulators are 32-bit)
+        xs = pipeline_block(0, f).astype(
+            jnp.bfloat16
+        )  # [S, DT] (MXU accumulators are 32-bit)
 
         def netvlad(x_mod, c_ref, sc_ref, bi_ref, c2_ref, out_ref):
             logits = (
@@ -146,7 +118,7 @@ def _make_kernel(d_rgb: int, k_rgb: int, d_aud: int, k_aud: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "frame_block"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def netvlad_frontend_fused(
     x_u8,       # [B, F, DT] uint8
     idx,        # [B, S] int32 sampled frame indices
@@ -154,11 +126,7 @@ def netvlad_frontend_fused(
     in_bias,    # [DT] folded input-BN bias
     c_rgb, s_rgb, b_rgb, c2_rgb,   # rgb NetVLAD consts
     c_aud, s_aud, b_aud, c2_aud,   # audio NetVLAD consts
-    num_frames=None,  # optional [B] int32: rows ≥ num_frames[i] are never
-                      # sampled (sample_indices guarantee) → their 128-row
-                      # frame blocks are skipped, bit-exactly
     *,
-    frame_block: int = FRAME_BLOCK,
     interpret: bool = False,
 ):
     """Returns (vlad_rgb [B, d_rgb, k_rgb], vlad_aud [B, d_aud, k_aud]) bf16."""
@@ -168,34 +136,13 @@ def netvlad_frontend_fused(
     d_aud, k_aud = c_aud.shape
     assert d_rgb + d_aud == dt, (d_rgb, d_aud, dt)
 
-    block_skip = num_frames is not None
-    kernel = _make_kernel(
-        d_rgb, k_rgb, d_aud, k_aud,
-        block_skip=block_skip, frame_block=frame_block,
-    )
+    kernel = _make_kernel(d_rgb, k_rgb, d_aud, k_aud)
     row = lambda a: a.reshape(1, -1).astype(jnp.float32)
-
-    # num_frames rides as the FULL [B] vector in SMEM and the kernel indexes
-    # it by pl.program_id(0): real Mosaic only lowers rank-1 blocks that are
-    # the whole dim (or a 128-multiple) and applies the (8,128) rule to 2-D
-    # blocks even in SMEM — per-video (1,)/(1,1) scalars are both rejected
-    # (interpret mode accepted them; the tunnel-down round shipped that
-    # dormant and the first on-chip run caught it).  B int32s ≪ SMEM.
-    skip_specs = (
-        [pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.SMEM)]
-        if block_skip
-        else []
-    )
-    skip_args = (
-        [jnp.minimum(jnp.asarray(num_frames, jnp.int32).reshape(b), f)]
-        if block_skip
-        else []
-    )
 
     out_rgb, out_aud = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=skip_specs + [
+        in_specs=[
             pl.BlockSpec((1, f, dt), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, dt), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -224,7 +171,6 @@ def netvlad_frontend_fused(
         ),
         interpret=interpret,
     )(
-        *skip_args,
         x_u8,
         idx.reshape(b, 1, s),
         row(in_scale),

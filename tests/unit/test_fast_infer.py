@@ -141,27 +141,6 @@ def test_fast_path_fused_frontend_branch(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=3e-2)
 
 
-def test_fast_path_frontend_block_skip_bitexact(rng):
-    """frontend_block_skip=True through the product builder on multi-block
-    F=300 input must be BIT-identical to the dense frontend (same rng →
-    same sampled indices; skipped one-hot partials are exact zeros)."""
-    model, variables, _, _ = _setup(rng)
-    feats_u8 = rng.integers(0, 256, size=(2, 300, 1152), dtype=np.uint8)
-    nf = np.array([40, 300], np.int32)
-    fp = prepare_fast_params(variables, CFG, compute_dtype=jnp.bfloat16)
-    kw = dict(
-        top_k=5, use_pallas=True, pallas_interpret=True,
-        compute_dtype=jnp.bfloat16, fuse_frontend=True,
-    )
-    base = build_fast_netvlad_inference(CFG, **kw)
-    skip = build_fast_netvlad_inference(CFG, frontend_block_skip=True, **kw)
-    key = jax.random.key(7)
-    v1, i1 = base(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key)
-    v2, i2 = skip(fp, jnp.asarray(feats_u8), jnp.asarray(nf), key)
-    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
-
-
 def test_fast_path_rejects_non_moe_classifier(rng):
     """A non-MoE --video_level_classifier_model must raise a clean
     'unsupported config' ValueError, not a KeyError (advisor finding)."""

@@ -91,54 +91,6 @@ def test_attention_kernel_matches_reference_interpret(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_attention_kernel_block_skip_valid_rows(rng):
-    """num_frames-guided block skipping (multi-block F=300): valid query
-    rows match the dense kernel up to f32 summation order; dead query
-    blocks come out exactly zero."""
-    b, f, heads, hd = 2, 300, 2, 8
-    dm = heads * hd
-    qkv = jnp.asarray(rng.normal(size=(b, f, 3 * dm)).astype(np.float32))
-    nf = np.array([100, 300], np.int32)
-    mask = jnp.asarray((np.arange(f)[None] < nf[:, None]).astype(np.float32))
-    dense = np.asarray(masked_attention_fused(qkv, mask, heads, interpret=True))
-    skip = np.asarray(
-        masked_attention_fused(
-            qkv, mask, heads, num_frames=jnp.asarray(nf), interpret=True
-        )
-    )
-    for i in range(b):
-        np.testing.assert_allclose(
-            skip[i, : nf[i]], dense[i, : nf[i]], atol=1e-5
-        )
-    # rows in query blocks entirely past nf are zeroed (128-row blocks)
-    assert np.all(skip[0, 128:] == 0.0)
-
-
-def test_fast_transformer_block_skip_full_forward(rng):
-    """block_skip=True through the full fast forward (multi-block F):
-    predictions unchanged — pad-row differences are masked out by the
-    mean-pool."""
-    f = 300
-    feats_u8 = rng.integers(0, 256, size=(B, f, DIN), dtype=np.uint8)
-    nf = np.array([f, 150, 40], np.int32)
-    model = create_model("TransformerEncoderModel", CFG)
-    x = step_lib.preprocess_input(jnp.asarray(feats_u8))
-    variables = model.init(
-        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
-        x, num_frames=jnp.asarray(nf), training=True,
-    )
-    fp = prepare_fast_transformer_params(variables, CFG, compute_dtype=jnp.float32)
-    kw = dict(
-        use_pallas=True, pallas_interpret=True, compute_dtype=jnp.float32,
-        return_probs=True,
-    )
-    base = build_fast_transformer_inference(CFG, **kw)
-    skip = build_fast_transformer_inference(CFG, block_skip=True, **kw)
-    want = base(fp, jnp.asarray(feats_u8), jnp.asarray(nf))
-    got = skip(fp, jnp.asarray(feats_u8), jnp.asarray(nf))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
 def test_attention_reference_matches_flax_mha(rng):
     """attention_reference ≡ flax MultiHeadDotProductAttention given the
     same (identity-projected) inputs — pins the math the kernel implements

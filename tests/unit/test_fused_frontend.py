@@ -43,25 +43,6 @@ def test_fused_frontend_matches_reference(rng):
     )
 
 
-def test_fused_frontend_block_skip_bitexact(rng):
-    """num_frames-guided frame-block skipping must be BIT-exact vs the
-    dense kernel: skipped blocks' one-hot partials are exact f32 zeros
-    (sample_indices guarantees idx < num_frames)."""
-    B, F, D_RGB, D_AUD, K_RGB, K_AUD = 3, 300, 24, 8, 4, 2
-    DT = D_RGB + D_AUD
-    x = jnp.asarray(rng.integers(0, 256, size=(B, F, DT), dtype=np.uint8))
-    # 1, 2, and 3 live 128-row blocks respectively
-    nf = jnp.asarray([10, 150, 300], np.int32)
-    idx = sample_indices(jax.random.key(2), nf, F, 16)
-    args = _args(rng, DT, D_RGB, K_RGB, D_AUD, K_AUD)
-    d1, d2 = netvlad_frontend_fused(x, idx, **args, interpret=True)
-    s1, s2 = netvlad_frontend_fused(
-        x, idx, **args, num_frames=nf, interpret=True
-    )
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(s1))
-    np.testing.assert_array_equal(np.asarray(d2), np.asarray(s2))
-
-
 def test_sample_indices_respects_num_frames(rng):
     nf = jnp.asarray([1, 5, 10], np.int32)
     idx = np.asarray(sample_indices(jax.random.key(0), nf, 10, 50))

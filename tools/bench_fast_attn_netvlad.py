@@ -35,15 +35,6 @@ fp8 = jax.device_put(
 t = timeit(lambda dep: fast(fp8, feats_d, nf_d + dep.astype(jnp.int32), None))
 print(f"AttentionNetVLAD fast+int8:  {t*1e3:.2f} ms ({B/t:,.0f} videos/s) @ B={B}")
 
-# attention block skipping (dormant product path — ROADMAP item 2)
-fast_bs = jax.jit(
-    build_fast_attn_netvlad_inference(
-        CFG, top_k=20, use_pallas=True, block_skip=True
-    )
-)
-t = timeit(lambda dep: fast_bs(fp, feats_d, nf_d + dep.astype(jnp.int32), None))
-print(f"AttentionNetVLAD fast+skip:  {t*1e3:.2f} ms ({B/t:,.0f} videos/s) @ B={B}")
-
 p_d, bs_d = jax.device_put(params), jax.device_put(bstats)
 @jax.jit
 def full(p, bs, x, n):

@@ -33,7 +33,6 @@ def main():
     fp = jax.device_put(prepare_fast_transformer_params(variables, CFG))
     arms = (
         (dict(use_pallas=True), "pallas-attn"),
-        (dict(use_pallas=True, block_skip=True), "pallas-attn+block-skip"),
         (dict(use_pallas=False), "xla-attn"),
     )
     for kw, label in arms:
