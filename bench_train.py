@@ -32,6 +32,7 @@ def bench_train(
     optimizer: str = "AdamOptimizer",
     presample: bool = False,
     fused_adam: bool = False,
+    video_level: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -61,13 +62,26 @@ def bench_train(
     model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
     host_batch = {
-        "features": rng.integers(0, 256, size=(batch, 300, 1152), dtype=np.uint8),
         "labels": (rng.uniform(size=(batch, 3862)) < 0.002).astype(np.float32),
-        "num_frames": rng.integers(10, 301, size=(batch,)).astype(np.int32),
         "weights": np.ones(batch, np.float32),
     }
+    if video_level:
+        # video-level tf.Example path: one f32 mean_rgb‖mean_audio vector
+        # per video (readers.py#YT8MAggregatedFeatureReader)
+        host_batch["features"] = rng.normal(
+            scale=0.3, size=(batch, 1152)
+        ).astype(np.float32)
+    else:
+        host_batch["features"] = rng.integers(
+            0, 256, size=(batch, 300, 1152), dtype=np.uint8
+        )
+        host_batch["num_frames"] = rng.integers(
+            10, 301, size=(batch,)
+        ).astype(np.int32)
     params, batch_stats = step_lib.init_model_variables(
-        model, {k: v[:4] for k, v in host_batch.items()}, frame_features=True
+        model,
+        {k: v[:4] for k, v in host_batch.items()},
+        frame_features=not video_level,
     )
     tx = optimizers.create_optimizer(tcfg)
     state = TrainState.create(params, batch_stats, tx)
@@ -76,7 +90,9 @@ def bench_train(
     key = jax.device_put(jax.random.key(0))
 
     train_step = jax.jit(
-        step_lib.make_train_step(model, losses.CrossEntropyLoss(), tcfg, mcfg, True),
+        step_lib.make_train_step(
+            model, losses.CrossEntropyLoss(), tcfg, mcfg, not video_level
+        ),
         donate_argnums=0,
     )
 
@@ -124,6 +140,10 @@ def main():
     ap.add_argument("--optimizer", default="AdamOptimizer")
     ap.add_argument("--presample", action="store_true")
     ap.add_argument("--fused_adam", action="store_true")
+    ap.add_argument(
+        "--video_level", action="store_true",
+        help="video-level tf.Example features (LogisticModel/MoeModel)",
+    )
     args = ap.parse_args()
     eps, step_s, loss = bench_train(
         args.batch,
@@ -136,6 +156,7 @@ def main():
         optimizer=args.optimizer,
         presample=args.presample,
         fused_adam=args.fused_adam,
+        video_level=args.video_level,
     )
     print(
         json.dumps(
