@@ -95,3 +95,75 @@ def test_cli_train_inference_roundtrip(workdir):
     parts = pairs.split(" ")
     assert len(parts) == 6  # 3 (index, score) pairs
     assert all(0.0 <= float(parts[i]) <= 1.0 for i in range(1, 6, 2))
+
+
+def test_cli_crash_resume(workdir):
+    """Crash recovery, actually crashed: SIGKILL the train CLI mid-run
+    after its first committed checkpoint, restart WITHOUT
+    --start_new_model, and require it to restore at a step ≥ the one we
+    saw before the kill — the reference's Supervisor managed_session
+    auto-restore contract (SURVEY.md §5.3/§5.4, train.py#Trainer.run).
+    The existing roundtrip tests exercise save/restore APIs; this is the
+    only place the process actually dies uncleanly."""
+    import re
+    import signal
+    import time
+
+    train_dir = str(workdir / "td_crash")
+    data = str(workdir / "train.tfrecord")
+    args = [
+        *COMMON,
+        f"--train_data_pattern={data}", f"--train_dir={train_dir}",
+        "--start_new_model", "--export_model_steps=0",
+        "--num_epochs=200",               # ~800 steps: plenty to die mid-run
+        "--save_checkpoint_every_n_steps=2",
+        "--log_every_n_steps=5",
+    ]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    module = "learnablepoolingmethods_tpu.train"
+    code = (
+        "import sys, runpy, jax; "
+        "jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv[0] = {module!r}; "
+        f"runpy.run_module({module!r}, run_name='__main__')"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, *args],
+        cwd=REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    ckpt_root = os.path.join(train_dir, "checkpoints")
+    saved_step = None
+    deadline = time.time() + 1500  # compile ≈60–90 s on this loaded 1-core host
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.isdir(ckpt_root):
+                # orbax commits a step via atomic rename → a digit-named dir
+                # is a complete checkpoint (saves are synchronous here)
+                steps = [int(d) for d in os.listdir(ckpt_root) if d.isdigit()]
+                if steps:
+                    saved_step = max(steps)
+                    break
+            time.sleep(0.2)
+        assert proc.poll() is None, "train CLI exited before it could be killed"
+        assert saved_step is not None, "no checkpoint appeared before the deadline"
+        proc.send_signal(signal.SIGKILL)  # no cleanup, no atexit — a real crash
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait(timeout=60)
+
+    # restart without --start_new_model: must auto-restore, then finish the
+    # (now tiny) target and exit 0
+    log = _run(
+        module, *COMMON,
+        f"--train_data_pattern={data}", f"--train_dir={train_dir}",
+        "--num_epochs=1", "--export_model_steps=0",
+        "--save_checkpoint_every_n_steps=1000", "--log_every_n_steps=1",
+    )
+    m = re.search(r"restored checkpoint at step (\d+)", log)
+    assert m, f"no restore line in resume log:\n{log[-2000:]}"
+    assert int(m.group(1)) >= saved_step, (m.group(1), saved_step)
+    assert "done; final checkpoint" in log
