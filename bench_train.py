@@ -33,6 +33,7 @@ def bench_train(
     presample: bool = False,
     fused_adam: bool = False,
     video_level: bool = False,
+    grad_accum: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -58,6 +59,7 @@ def bench_train(
         optimizer=optimizer,
         presample_frames=presample,
         fused_adam=fused_adam,
+        grad_accum_steps=grad_accum,
     )
     model = create_model(model_name, mcfg)
     rng = np.random.default_rng(0)
@@ -141,6 +143,12 @@ def main():
     ap.add_argument("--presample", action="store_true")
     ap.add_argument("--fused_adam", action="store_true")
     ap.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="microbatches per optimizer step (peak activation memory "
+        "scales with batch/accum; effective batches past the B=4096 "
+        "activation OOM fit)",
+    )
+    ap.add_argument(
         "--video_level", action="store_true",
         help="video-level tf.Example features (LogisticModel/MoeModel)",
     )
@@ -157,6 +165,7 @@ def main():
         presample=args.presample,
         fused_adam=args.fused_adam,
         video_level=args.video_level,
+        grad_accum=args.grad_accum,
     )
     print(
         json.dumps(
@@ -170,6 +179,7 @@ def main():
                 "bf16_params": args.bf16_params,
                 "bf16_momentum": args.bf16_momentum,
                 "optimizer": args.optimizer,
+                "grad_accum": args.grad_accum,
                 "final_loss": round(loss, 4),
             }
         )

@@ -178,3 +178,9 @@ class TrainingConfig:
                                                 # stochastic-rounded bf16
                                                 # params + bf16 ν, no fp32
                                                 # master (ops/fused_adam.py)
+    grad_accum_steps: int = 1                   # microbatches per optimizer
+                                                # step (rebuild-only): peak
+                                                # activation memory scales
+                                                # with batch_size/accum, so
+                                                # effective batches past the
+                                                # B=4096 activation OOM fit

@@ -102,10 +102,21 @@ def make_train_step(
     mcfg: ModelConfig,
     frame_features: bool,
 ) -> Callable:
-    """Build the fused train step: (state, batch, rng) → (state, metrics)."""
+    """Build the fused train step: (state, batch, rng) → (state, metrics).
+
+    With ``tcfg.grad_accum_steps > 1`` the batch is split into that many
+    microbatches whose backward passes run sequentially inside the same jit
+    (unrolled — scan-over-pallas is off-limits through the remote compiler):
+    peak activation memory scales with batch_size/accum while the optimizer
+    still sees one averaged gradient, so effective batches past the B=4096
+    single-pass activation OOM fit (remat measured a loss — BASELINE.md).
+    BatchNorm statistics and frame sampling are per-microbatch (the standard
+    accumulation semantics; batch_stats chain through the microbatches).
+    """
     compute_dtype = jnp.dtype(mcfg.compute_dtype)
 
     presample = bool(getattr(tcfg, "presample_frames", False)) and frame_features
+    accum = max(1, int(getattr(tcfg, "grad_accum_steps", 1)))
 
     def train_step(state: TrainState, batch, rng):
         num_frames = batch.get("num_frames") if frame_features else None
@@ -126,10 +137,9 @@ def make_train_step(
             features = sample_frame_features(
                 features, num_frames, mcfg.iterations, sampling_rng
             )
-        x = preprocess_input(features, compute_dtype)
         weights = batch.get("weights")
         if weights is None:
-            weights = jnp.ones((x.shape[0],), jnp.float32)
+            weights = jnp.ones((features.shape[0],), jnp.float32)
 
         def forward(params, batch_stats, x, srng, drng, num_frames):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -149,28 +159,112 @@ def make_train_step(
             # (SURVEY.md §7 hard parts: the Willow config is memory-heavy).
             forward = jax.checkpoint(forward)
 
-        def loss_fn(params):
-            out, mutated = forward(
-                params, state.batch_stats, x, sampling_rng, dropout_rng, num_frames
-            )
-            predictions = out["predictions"]
-            per_ex = loss_obj.calculate_per_example_loss(
-                predictions, batch["labels"].astype(jnp.float32)
-            )
-            label_loss = weighted_mean(per_ex, weights)
-            reg = regularization_loss(
-                params,
-                mcfg.l2_penalty,
-                all_kernels=mcfg.l2_reg_all_kernels,
-                moe_l2=mcfg.moe_l2,
-            )
-            reg = reg + out.get("regularization_loss", 0.0)
-            total = label_loss + tcfg.regularization_penalty * reg
-            return total, (label_loss, reg, predictions, mutated["batch_stats"])
+        if accum == 1:
+            x = preprocess_input(features, compute_dtype)
 
-        (total, (label_loss, reg, predictions, new_bs)), grads = (
-            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        )
+            def loss_fn(params):
+                out, mutated = forward(
+                    params, state.batch_stats, x, sampling_rng, dropout_rng,
+                    num_frames,
+                )
+                predictions = out["predictions"]
+                per_ex = loss_obj.calculate_per_example_loss(
+                    predictions, batch["labels"].astype(jnp.float32)
+                )
+                label_loss = weighted_mean(per_ex, weights)
+                reg = regularization_loss(
+                    params,
+                    mcfg.l2_penalty,
+                    all_kernels=mcfg.l2_reg_all_kernels,
+                    moe_l2=mcfg.moe_l2,
+                )
+                reg = reg + out.get("regularization_loss", 0.0)
+                total = label_loss + tcfg.regularization_penalty * reg
+                return total, (label_loss, reg, predictions, mutated["batch_stats"])
+
+            (total, (label_loss, reg, predictions, new_bs)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            )
+        else:
+            batch_size = features.shape[0]
+            if batch_size % accum:
+                raise ValueError(
+                    f"batch_size={batch_size} not divisible by "
+                    f"grad_accum_steps={accum}"
+                )
+            mb = batch_size // accum
+            labels_f32 = batch["labels"].astype(jnp.float32)
+            w_total = jnp.maximum(jnp.sum(weights.astype(jnp.float32)), 1.0)
+
+            def microbatch_loss(params, bs, feats, labels, ws, w_frac,
+                                srng, drng, nfs):
+                # loss_i = Σ_mb(w·ℓ)/W_total + (W_mb/W_total)·penalty·reg:
+                # summed over microbatches this is EXACTLY the full-batch
+                # weighted-mean loss, so summed grads are the full-batch
+                # gradient (no trailing divide).
+                x = preprocess_input(feats, compute_dtype)
+                out, mutated = forward(params, bs, x, srng, drng, nfs)
+                predictions = out["predictions"]
+                per_ex = loss_obj.calculate_per_example_loss(predictions, labels)
+                label_part = (
+                    jnp.sum(per_ex.astype(jnp.float32) * ws.astype(jnp.float32))
+                    / w_total
+                )
+                reg = regularization_loss(
+                    params,
+                    mcfg.l2_penalty,
+                    all_kernels=mcfg.l2_reg_all_kernels,
+                    moe_l2=mcfg.moe_l2,
+                )
+                reg = reg + out.get("regularization_loss", 0.0)
+                total = label_part + w_frac * tcfg.regularization_penalty * reg
+                return total, (label_part, reg, predictions,
+                               mutated["batch_stats"])
+
+            grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+            bs = state.batch_stats
+            grads_f32 = None
+            grads_dtypes = None
+            label_loss = jnp.zeros((), jnp.float32)
+            reg = jnp.zeros((), jnp.float32)
+            preds_parts = []
+            for i in range(accum):
+                sl = slice(i * mb, (i + 1) * mb)
+                ws_i = weights[sl]
+                w_frac = jnp.sum(ws_i.astype(jnp.float32)) / w_total
+                nfs_i = num_frames[sl] if num_frames is not None else None
+                (_, (label_i, reg_i, preds_i, bs)), g_i = grad_fn(
+                    state.params,
+                    bs,
+                    features[sl],
+                    labels_f32[sl],
+                    ws_i,
+                    w_frac,
+                    jax.random.fold_in(sampling_rng, i),
+                    jax.random.fold_in(dropout_rng, i),
+                    nfs_i,
+                )
+                if grads_f32 is None:
+                    grads_dtypes = jax.tree.map(lambda g: g.dtype, g_i)
+                    grads_f32 = jax.tree.map(
+                        lambda g: g.astype(jnp.float32), g_i
+                    )
+                else:
+                    grads_f32 = jax.tree.map(
+                        lambda a, g: a + g.astype(jnp.float32), grads_f32, g_i
+                    )
+                label_loss = label_loss + label_i
+                reg = reg + w_frac * reg_i
+                preds_parts.append(preds_i)
+            # cast back to the dtype a single-pass backward would produce so
+            # the optimizer (incl. fused SR-Adam) sees identical inputs
+            grads = jax.tree.map(
+                lambda g, dt: g.astype(dt), grads_f32, grads_dtypes
+            )
+            predictions = jnp.concatenate(preds_parts, axis=0)
+            total = label_loss + tcfg.regularization_penalty * reg
+            new_bs = bs
+
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         metrics = {
             "loss": total,

@@ -223,6 +223,17 @@ def define_training_flags():
         "optimizer (halves fwd/bwd weight + grad HBM traffic; Adam math "
         "stays fp32 on the master).",
     )
+    flags.DEFINE_integer(
+        "grad_accum_steps",
+        1,
+        "Microbatches accumulated per optimizer step. Peak activation "
+        "memory scales with batch_size/grad_accum_steps, so effective "
+        "batches past the single-pass activation OOM fit (remat measured "
+        "a loss on this family — BASELINE.md; accumulation is the lever). "
+        "batch_size must be divisible by this. Note: BatchNorm statistics "
+        "and frame sampling are per-microbatch, the standard accumulation "
+        "semantics.",
+    )
     flags.DEFINE_bool(
         "fused_adam",
         False,
@@ -312,6 +323,7 @@ def training_config_from_flags() -> TrainingConfig:
         fp32_master=FLAGS.bf16_params and not FLAGS.fused_adam,
         presample_frames=FLAGS.presample_frames,
         fused_adam=FLAGS.fused_adam,
+        grad_accum_steps=FLAGS.grad_accum_steps,
     )
 
 

@@ -87,6 +87,108 @@ def test_predict_step_rng_varies_sampling(rng):
     )
 
 
+def test_grad_accum_equivalence_no_bn(rng):
+    """grad_accum_steps=N must reproduce the single-pass step exactly on a
+    model with no BatchNorm and no frame sampling (MoeModel): the microbatch
+    losses are scaled so their summed gradients ARE the full-batch weighted
+    gradient — verified through an SGD update (linear in grads, no Adam
+    amplification) on a padded batch with ragged weights."""
+    import dataclasses
+
+    import chex
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import TrainingConfig
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+
+    batch = {
+        "features": rng.normal(size=(8, 20)).astype(np.float32),
+        "labels": (rng.uniform(size=(8, 12)) < 0.2).astype(np.float32),
+        # ragged weights (incl. a padded-out row) exercise the per-microbatch
+        # W_mb/W_total scaling
+        "weights": np.array([1, 1, 0, 1, 1, 1, 1, 1], np.float32),
+    }
+    mcfg = ModelConfig(vocab_size=12)
+    loss_obj = losses.CrossEntropyLoss()
+
+    def run(accum):
+        tcfg = TrainingConfig(
+            batch_size=8,
+            optimizer="GradientDescentOptimizer",
+            grad_accum_steps=accum,
+        )
+        model = create_model("MoeModel", mcfg)
+        params, bs = step_lib.init_model_variables(model, batch, False)
+        state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+        step_fn = jax.jit(
+            step_lib.make_train_step(model, loss_obj, tcfg, mcfg, False)
+        )
+        state, metrics = step_fn(state, batch, jax.random.key(0))
+        return state, metrics
+
+    state1, m1 = run(1)
+    state4, m4 = run(4)
+    np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(m4["label_loss"]), float(m1["label_loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(m4["predictions"]), np.asarray(m1["predictions"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    chex.assert_trees_all_close(
+        jax.device_get(state4.params), jax.device_get(state1.params),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_grad_accum_frame_model_runs(rng):
+    """Accumulation on a BN + frame-sampling model (DbofModel): semantics are
+    per-microbatch (documented), so assert the step runs, chains batch_stats
+    through the microbatches, and emits full-batch-shaped predictions; a
+    non-divisible batch raises."""
+    import pytest
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import TrainingConfig
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+
+    mcfg = ModelConfig(
+        vocab_size=8, iterations=4, dbof_cluster_size=16, dbof_hidden_size=8
+    )
+    batch = {
+        "features": rng.integers(0, 256, size=(6, 10, 12), dtype=np.uint8),
+        "labels": (rng.uniform(size=(6, 8)) < 0.3).astype(np.float32),
+        "num_frames": np.array([10, 3, 7, 10, 1, 5], np.int32),
+        "weights": np.ones(6, np.float32),
+    }
+    tcfg = TrainingConfig(batch_size=6, grad_accum_steps=2)
+    model = create_model("DbofModel", mcfg)
+    params, bs = step_lib.init_model_variables(model, batch, True)
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    loss_obj = losses.CrossEntropyLoss()
+    step_fn = jax.jit(
+        step_lib.make_train_step(model, loss_obj, tcfg, mcfg, True)
+    )
+    new_state, metrics = step_fn(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["predictions"].shape == (6, 8)
+    # batch_stats must have advanced (chained through both microbatches)
+    before = jax.tree_util.tree_leaves(state.batch_stats)
+    after = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(after, before)
+    )
+
+    bad = TrainingConfig(batch_size=6, grad_accum_steps=4)
+    bad_fn = step_lib.make_train_step(model, loss_obj, bad, mcfg, True)
+    with pytest.raises(ValueError, match="not divisible"):
+        jax.jit(bad_fn)(state, batch, jax.random.key(0))
+
+
 def test_presample_frames_step_equivalence(rng):
     """--presample_frames gathers uint8 frames BEFORE dequantize+ℓ2-norm —
     an exact reorder (row-wise normalize).  With num_frames=1 the sampled
