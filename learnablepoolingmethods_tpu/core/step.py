@@ -198,10 +198,14 @@ def make_train_step(
 
             def microbatch_loss(params, bs, feats, labels, ws, w_frac,
                                 srng, drng, nfs):
-                # loss_i = Σ_mb(w·ℓ)/W_total + (W_mb/W_total)·penalty·reg:
+                # loss_i = Σ_mb(w·ℓ)/W_total + (W_mb/W_total)·penalty·reg_m:
                 # summed over microbatches this is EXACTLY the full-batch
-                # weighted-mean loss, so summed grads are the full-batch
-                # gradient (no trailing divide).
+                # weighted-mean label loss (plus the weighted model-internal
+                # reg, which depends on activations so it must stay in-loop);
+                # the params-only L2 term is hoisted OUTSIDE the loop so its
+                # gradient is applied exactly once — identical to the
+                # single-pass step for ANY weight sum, and the giant head
+                # kernels are read once, not accum times.
                 x = preprocess_input(feats, compute_dtype)
                 out, mutated = forward(params, bs, x, srng, drng, nfs)
                 predictions = out["predictions"]
@@ -210,15 +214,9 @@ def make_train_step(
                     jnp.sum(per_ex.astype(jnp.float32) * ws.astype(jnp.float32))
                     / w_total
                 )
-                reg = regularization_loss(
-                    params,
-                    mcfg.l2_penalty,
-                    all_kernels=mcfg.l2_reg_all_kernels,
-                    moe_l2=mcfg.moe_l2,
-                )
-                reg = reg + out.get("regularization_loss", 0.0)
-                total = label_part + w_frac * tcfg.regularization_penalty * reg
-                return total, (label_part, reg, predictions,
+                reg_m = out.get("regularization_loss", 0.0)
+                total = label_part + w_frac * tcfg.regularization_penalty * reg_m
+                return total, (label_part, reg_m, predictions,
                                mutated["batch_stats"])
 
             grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
@@ -230,13 +228,22 @@ def make_train_step(
             preds_parts = []
             for i in range(accum):
                 sl = slice(i * mb, (i + 1) * mb)
+                feats_i = features[sl]
+                if grads_f32 is not None:
+                    # force microbatch i to wait for microbatch i-1's
+                    # backward: without this data dependency XLA may schedule
+                    # all forwards before any backward on batch_stats-free
+                    # models, keeping every microbatch's activations live at
+                    # once — exactly the peak this feature exists to avoid.
+                    dep = jax.tree_util.tree_leaves(grads_f32)[0]
+                    feats_i, _ = jax.lax.optimization_barrier((feats_i, dep))
                 ws_i = weights[sl]
                 w_frac = jnp.sum(ws_i.astype(jnp.float32)) / w_total
                 nfs_i = num_frames[sl] if num_frames is not None else None
                 (_, (label_i, reg_i, preds_i, bs)), g_i = grad_fn(
                     state.params,
                     bs,
-                    features[sl],
+                    feats_i,
                     labels_f32[sl],
                     ws_i,
                     w_frac,
@@ -256,6 +263,22 @@ def make_train_step(
                 label_loss = label_loss + label_i
                 reg = reg + w_frac * reg_i
                 preds_parts.append(preds_i)
+            # params-only L2, computed and differentiated exactly once
+            reg_p, reg_p_grads = jax.value_and_grad(
+                lambda p: regularization_loss(
+                    p,
+                    mcfg.l2_penalty,
+                    all_kernels=mcfg.l2_reg_all_kernels,
+                    moe_l2=mcfg.moe_l2,
+                )
+            )(state.params)
+            grads_f32 = jax.tree.map(
+                lambda a, g: a
+                + tcfg.regularization_penalty * g.astype(jnp.float32),
+                grads_f32,
+                reg_p_grads,
+            )
+            reg = reg + reg_p
             # cast back to the dtype a single-pass backward would produce so
             # the optimizer (incl. fused SR-Adam) sees identical inputs
             grads = jax.tree.map(

@@ -92,9 +92,9 @@ def test_grad_accum_equivalence_no_bn(rng):
     model with no BatchNorm and no frame sampling (MoeModel): the microbatch
     losses are scaled so their summed gradients ARE the full-batch weighted
     gradient — verified through an SGD update (linear in grads, no Adam
-    amplification) on a padded batch with ragged weights."""
-    import dataclasses
-
+    amplification) on a padded batch with ragged weights, and on an
+    all-zero-weight batch where only the (hoisted, applied-exactly-once)
+    L2 gradient moves the params."""
     import chex
 
     from learnablepoolingmethods_tpu import losses
@@ -109,22 +109,22 @@ def test_grad_accum_equivalence_no_bn(rng):
         # W_mb/W_total scaling
         "weights": np.array([1, 1, 0, 1, 1, 1, 1, 1], np.float32),
     }
-    mcfg = ModelConfig(vocab_size=12)
+    mcfg = ModelConfig(vocab_size=12, l2_penalty=1e-3)
     loss_obj = losses.CrossEntropyLoss()
 
-    def run(accum):
+    def run(accum, b=batch):
         tcfg = TrainingConfig(
             batch_size=8,
             optimizer="GradientDescentOptimizer",
             grad_accum_steps=accum,
         )
         model = create_model("MoeModel", mcfg)
-        params, bs = step_lib.init_model_variables(model, batch, False)
+        params, bs = step_lib.init_model_variables(model, b, False)
         state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
         step_fn = jax.jit(
             step_lib.make_train_step(model, loss_obj, tcfg, mcfg, False)
         )
-        state, metrics = step_fn(state, batch, jax.random.key(0))
+        state, metrics = step_fn(state, b, jax.random.key(0))
         return state, metrics
 
     state1, m1 = run(1)
@@ -140,6 +140,21 @@ def test_grad_accum_equivalence_no_bn(rng):
     chex.assert_trees_all_close(
         jax.device_get(state4.params), jax.device_get(state1.params),
         rtol=1e-5, atol=1e-7,
+    )
+
+    # sum(weights)=0 < 1: the params-only L2 gradient must still be applied
+    # exactly once (it is hoisted out of the microbatch loop; an in-loop
+    # W_mb/W_total scaling would silently zero it here)
+    zero = dict(batch, weights=np.zeros(8, np.float32))
+    z1, mz1 = run(1, zero)
+    z4, mz4 = run(4, zero)
+    assert float(mz1["reg_loss"]) > 0
+    np.testing.assert_allclose(
+        float(mz4["reg_loss"]), float(mz1["reg_loss"]), rtol=1e-6
+    )
+    chex.assert_trees_all_close(
+        jax.device_get(z4.params), jax.device_get(z1.params),
+        rtol=1e-6, atol=1e-8,
     )
 
 
