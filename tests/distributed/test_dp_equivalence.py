@@ -165,6 +165,38 @@ def test_frame_model_shards_over_mesh(rng):
     assert float(m2["loss"]) != float(m["loss"])  # parameters moved
 
 
+def test_grad_accum_sharded_equals_single_device(rng):
+    """Gradient accumulation under a data mesh: microbatch slices cut across
+    the batch-sharded axis (GSPMD reshards as needed), and the accumulated
+    step must still equal the unsharded accum=1 step on a no-BN model."""
+    import dataclasses
+
+    model, state, batch = _make_state_and_batch(rng)
+    loss_obj = losses.CrossEntropyLoss()
+
+    plain = jax.jit(step_lib.make_train_step(model, loss_obj, TCFG, MCFG, False))
+    state1, m1 = plain(state, batch, jax.random.key(0))
+
+    accum_cfg = dataclasses.replace(TCFG, grad_accum_steps=4)
+    accum_fn = jax.jit(
+        step_lib.make_train_step(model, loss_obj, accum_cfg, MCFG, False)
+    )
+    mesh = mesh_lib.create_mesh()
+    state_r = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+    batch_s = {
+        k: jax.device_put(v, mesh_lib.batch_sharding(mesh))
+        for k, v in batch.items()
+    }
+    rng_r = jax.device_put(jax.random.key(0), mesh_lib.replicated_sharding(mesh))
+    state8, m8 = accum_fn(state_r, batch_s, rng_r)
+
+    chex.assert_trees_all_close(
+        jax.device_get(state1.params), jax.device_get(state8.params),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+
+
 def test_remat_step_equals_plain_step(rng):
     """jax.checkpoint'd train step must produce identical parameters."""
     import dataclasses
