@@ -123,7 +123,7 @@ def make_train_step(
         step_rng = jax.random.fold_in(rng, state.step)
         sampling_rng, dropout_rng = jax.random.split(step_rng)
         features = batch["features"]
-        if presample:
+        if presample and accum == 1:
             # gather the sampled frames in uint8 BEFORE dequantize+ℓ2-norm
             # (1 byte/row instead of 2, and only sampled rows get the float
             # input stage; exact — ℓ2-normalize is row-wise and the model's
@@ -206,6 +206,18 @@ def make_train_step(
                 # gradient is applied exactly once — identical to the
                 # single-pass step for ANY weight sum, and the giant head
                 # kernels are read once, not accum times.
+                if presample:
+                    # per-microbatch, NOT whole-batch: the uint8 one-hot
+                    # gather materializes temps the size of its input, and a
+                    # full-batch gather was the single largest OOM buffer at
+                    # B=4096 accum=2 (1.34 GB u8 copy, measured)
+                    from learnablepoolingmethods_tpu.models.model_utils import (
+                        sample_frame_features,
+                    )
+
+                    feats = sample_frame_features(
+                        feats, nfs, mcfg.iterations, srng
+                    )
                 x = preprocess_input(feats, compute_dtype)
                 out, mutated = forward(params, bs, x, srng, drng, nfs)
                 predictions = out["predictions"]
@@ -230,13 +242,18 @@ def make_train_step(
                 sl = slice(i * mb, (i + 1) * mb)
                 feats_i = features[sl]
                 if grads_f32 is not None:
-                    # force microbatch i to wait for microbatch i-1's
-                    # backward: without this data dependency XLA may schedule
-                    # all forwards before any backward on batch_stats-free
-                    # models, keeping every microbatch's activations live at
-                    # once — exactly the peak this feature exists to avoid.
-                    dep = jax.tree_util.tree_leaves(grads_f32)[0]
-                    feats_i, _ = jax.lax.optimization_barrier((feats_i, dep))
+                    # force microbatch i to wait for ALL of microbatch i-1's
+                    # backward: one optimization_barrier HLO over the input
+                    # AND the whole accumulated gradient tree ties them
+                    # together.  Depending on a single grad leaf is NOT
+                    # enough — XLA computes that leaf early in the backward
+                    # and overlaps the rest with the next forward, keeping
+                    # multiple microbatches' activations live (measured:
+                    # B=8192/accum=4 used ~2 microbatches' temps and OOMed
+                    # by 10 GB with the single-leaf dependency).
+                    feats_i, grads_f32 = jax.lax.optimization_barrier(
+                        (feats_i, grads_f32)
+                    )
                 ws_i = weights[sl]
                 w_frac = jnp.sum(ws_i.astype(jnp.float32)) / w_total
                 nfs_i = num_frames[sl] if num_frames is not None else None

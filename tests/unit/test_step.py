@@ -203,6 +203,26 @@ def test_grad_accum_frame_model_runs(rng):
     with pytest.raises(ValueError, match="not divisible"):
         jax.jit(bad_fn)(state, batch, jax.random.key(0))
 
+    # presample + accumulation: the uint8 gather runs per-microbatch (the
+    # full-batch gather was the largest OOM buffer on-chip); must still run
+    import dataclasses
+
+    mcfg_p = dataclasses.replace(mcfg, presampled=True)
+    tcfg_p = TrainingConfig(
+        batch_size=6, grad_accum_steps=2, presample_frames=True
+    )
+    model_p = create_model("DbofModel", mcfg_p)
+    params_p, bs_p = step_lib.init_model_variables(model_p, batch, True)
+    state_p = TrainState.create(
+        params_p, bs_p, optimizers.create_optimizer(tcfg_p)
+    )
+    step_p = jax.jit(
+        step_lib.make_train_step(model_p, loss_obj, tcfg_p, mcfg_p, True)
+    )
+    _, metrics_p = step_p(state_p, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics_p["loss"]))
+    assert metrics_p["predictions"].shape == (6, 8)
+
 
 def test_presample_frames_step_equivalence(rng):
     """--presample_frames gathers uint8 frames BEFORE dequantize+ℓ2-norm —
