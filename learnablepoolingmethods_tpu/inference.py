@@ -237,5 +237,11 @@ def main(unused_argv):
 
 define_flags()
 
+
+def run():
+    """Console-script entry point (``lpm-infer``, pyproject [project.scripts])."""
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)

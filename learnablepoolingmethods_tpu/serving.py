@@ -396,5 +396,15 @@ def main(unused_argv):
 
 define_flags()
 
+
+def run():
+    """Console-script entry point (``lpm-serving``, pyproject [project.scripts]).
+
+    Named lpm-serving (not lpm-serve) to avoid colliding with the native C++
+    binary ``native/lpm_serve`` on a shared PATH.
+    """
+    app.run(main)
+
+
 if __name__ == "__main__":
     app.run(main)

@@ -221,8 +221,14 @@ class Trainer:
         batch = first_batch
         metrics = None
         labels_for_log = None
+        # Host-side step counter: reading int(state.step) inside the loop
+        # would block on the step just dispatched (async dispatch means the
+        # donated state materializes only when the device finishes), stalling
+        # the device through every host-side put()/log pass.  The counter is
+        # seeded from the restored state once and advances in lockstep with
+        # the device increment (state.apply_gradients adds exactly 1).
+        step_num = int(state.step)
         while True:
-            step_num = int(state.step)
             if tcfg.max_steps and step_num >= tcfg.max_steps:
                 break
             device_batch = put(batch)
@@ -312,6 +318,12 @@ def main(unused_argv):
 
 
 define_flags()
+
+
+def run():
+    """Console-script entry point (``lpm-train``, pyproject [project.scripts])."""
+    app.run(main)
+
 
 if __name__ == "__main__":
     app.run(main)
