@@ -105,7 +105,7 @@ def bench(
     # compile dominates the wall clock regardless).
     best = 1e9
     stale = 0
-    for _ in range(10):
+    for _ in range(16):
         t0 = time.perf_counter()
         chain(iters)
         t = time.perf_counter() - t0
@@ -113,7 +113,9 @@ def bench(
             best, stale = t, 0
         else:
             stale += 1
-            if stale >= 2 and best < 1e9:
+            # a jittery shared host can put the clean window late; be
+            # patient — each round is ~0.2 s of device time
+            if stale >= 4 and best < 1e9:
                 break
     marginal = (best - floor) / iters
     return batch / marginal, marginal
