@@ -69,7 +69,7 @@ class CheckpointManager:
                 os.path.join(self._dir, str(step), "default")
             )
             tree = getattr(meta, "item_metadata", meta)
-            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
 
             def to_abstract(m):
                 shape = getattr(m, "shape", None)
@@ -110,4 +110,25 @@ def tree_to_state(tree: dict, tx):
 
 
 def abstract_like(tree) -> Any:
-    return jax.tree.map(ocp.utils.to_shape_dtype_struct, tree)
+    """Abstract restore target mirroring ``tree``, with shardings attached.
+
+    orbax warns "sharding info not provided ... unsafe when restoring on a
+    different topology" when any abstract leaf lacks a sharding.  Leaves
+    that are live ``jax.Array``s keep their own sharding (so a sharded
+    state restores sharded); host arrays get the default device — which is
+    exactly the cross-topology contract ``CheckpointManager.restore``
+    documents (arrays land on the restoring backend's devices)."""
+    # local_devices()[0]: in multi-process mode every process restores its
+    # own host copy, and jax.devices()[0] may not be addressable here.
+    default = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+    def to_abstract(x):
+        sharding = getattr(x, "sharding", None)
+        if sharding is None or not isinstance(sharding, jax.sharding.Sharding):
+            sharding = default
+        return jax.ShapeDtypeStruct(
+            jax.numpy.shape(x), getattr(x, "dtype", jax.numpy.asarray(x).dtype),
+            sharding=sharding,
+        )
+
+    return jax.tree.map(to_abstract, tree)

@@ -228,12 +228,23 @@ class Trainer:
         # seeded from the restored state once and advances in lockstep with
         # the device increment (state.apply_gradients adds exactly 1).
         step_num = int(state.step)
+        # Pipeline-depth bound: without any sync between log/checkpoint
+        # intervals, the host can dispatch arbitrarily far ahead and every
+        # queued device_batch holds HBM (~1.4 GB at B=4096 uint8 frames) on
+        # configs already near the OOM line.  Blocking on the PREVIOUS step's
+        # loss scalar before dispatching the next step caps in-flight steps
+        # at two (dispatch N while N-1 executes) at the cost of one cheap
+        # scalar D2H per iteration.
+        prev_loss = None
         while True:
             if tcfg.max_steps and step_num >= tcfg.max_steps:
                 break
             device_batch = put(batch)
             labels_for_log = batch["labels"]
+            if prev_loss is not None:
+                jax.block_until_ready(prev_loss)
             state, metrics = train_step(state, device_batch, rng)
+            prev_loss = metrics["loss"]
             step_num += 1
 
             if step_num % log_every == 0:
@@ -269,6 +280,17 @@ class Trainer:
                 writer.global_step_summary(step_num, hit1, perr, gap, loss_val, eps)
 
             if step_num % tcfg.save_checkpoint_every_n_steps == 0:
+                # The save blocks on the state anyway; verify the host
+                # counter is still in lockstep with the device step so a
+                # future train_step variant that skips/repeats the increment
+                # fails loudly instead of misnumbering checkpoints.
+                device_step = int(state.step)
+                if device_step != step_num:
+                    raise AssertionError(
+                        f"host step counter {step_num} drifted from device "
+                        f"state.step {device_step}; train_step must "
+                        "increment step by exactly 1"
+                    )
                 mngr.save(step_num, ckpt_lib.state_to_tree(state))
                 logging.info("%s: saved checkpoint at step %d", task_as_string(), step_num)
 
