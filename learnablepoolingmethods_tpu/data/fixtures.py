@@ -203,11 +203,21 @@ def make_learnable_synthetic_frame_level(
     audio_size: int = 2,
     max_frames: int = 8,
     seed: int = 0,
+    label_threshold: float = 1.0,
+    min_labels: int = 0,
 ) -> List[dict]:
     """Learnable frame-level dataset: every frame is a noisy copy of a
     per-video latent, labels are a linear function of the latent — so a
     frame aggregator (DBoF/NetVLAD/attention) can fit it and integration
-    tests can assert training actually learns (SURVEY.md §4 item 5)."""
+    tests can assert training actually learns (SURVEY.md §4 item 5).
+
+    ``label_threshold`` tunes label density: class c is positive iff
+    ``z · w_c > label_threshold`` where ``z · w_c`` has std ≈ sqrt(d), so
+    large vocabularies (V=3862) can get YT-8M-like sparse labels (~a few
+    per video) instead of the ~50% density the default gives.
+    ``min_labels`` guarantees at least that many labels per video (the
+    top-scoring classes), so no video is label-free under a high threshold.
+    """
     rng = np.random.default_rng(seed)
     d = rgb_size + audio_size
     w = rng.normal(size=(d, num_classes)).astype(np.float32)
@@ -216,7 +226,12 @@ def make_learnable_synthetic_frame_level(
         for i in range(num_videos):
             vid = f"fsyn{i:05d}".encode()
             z = rng.normal(size=d).astype(np.float32)
-            labels = np.nonzero(z @ w > 1.0)[0].tolist()
+            scores = z @ w
+            labels = np.nonzero(scores > label_threshold)[0].tolist()
+            if len(labels) < min_labels:
+                labels = sorted(
+                    np.argsort(scores)[-min_labels:].tolist()
+                )
             n_frames = int(rng.integers(max(2, max_frames // 2), max_frames + 1))
             frames = z[None, :] + 0.3 * rng.normal(size=(n_frames, d)).astype(
                 np.float32

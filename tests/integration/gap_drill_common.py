@@ -1,0 +1,306 @@
+"""Shared, dimension-parameterized core of the GAP-parity drills.
+
+The two-stack protocol (train → export to a TF1-Saver checkpoint under
+reference variable names → evaluate the same TFRecords through a TF2
+transcription of the complete reference graph AND through our
+``eval.py --reference_checkpoint``) is identical between the toy-dim drill
+(tests/integration/test_gap_parity_drill.py) and the full-Willow-dimension
+drill (test_gap_parity_drill_fullshape.py); only the dimensions differ.
+This module holds the protocol once, parameterized by :class:`DrillDims`.
+
+TF transcription anchors (reference lineage, SURVEY.md citation
+convention): readers.py#YT8MFrameFeatureReader, utils.py#Dequantize,
+train.py#build_graph (l2-normalize), model_utils.py#SampleRandomFrames
+(deterministic window when iterations == max_frames and sampling is off),
+frame_level_models.py#NetVLADModelLF / #DbofModel,
+video_level_models.py#MoeModel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import tensorflow as tf
+
+from learnablepoolingmethods_tpu import eval as eval_cli
+from learnablepoolingmethods_tpu.config import ModelConfig, TrainingConfig
+from learnablepoolingmethods_tpu.core import checkpoint_import as ci
+from learnablepoolingmethods_tpu.core import step as step_lib
+from learnablepoolingmethods_tpu.metrics import eval_util
+from learnablepoolingmethods_tpu.models import create_model
+
+FLAGS = eval_cli.FLAGS
+
+BN_EPS = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class DrillDims:
+    """Every dimension/knob of one drill instantiation."""
+
+    n_videos: int
+    v: int  # vocab size
+    rgb: int
+    aud: int
+    maxf: int
+    model_flags: dict  # iterations, cluster sizes, hidden sizes, moe mixtures
+    top_k: int = 20
+    train_steps: int = 25
+    train_batch: int = 64
+    train_lr: float = 0.02
+    eval_batch: int = 32
+
+    @property
+    def d(self) -> int:
+        return self.rgb + self.aud
+
+
+def mcfg_for(dims: DrillDims) -> ModelConfig:
+    return ModelConfig(vocab_size=dims.v, **dims.model_flags)
+
+
+def train_and_export(dims: DrillDims, model_name, data_pattern, ckpt_path):
+    """A few train steps on the drill set → TF1 checkpoint under reference
+    variable names."""
+    import jax
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+    from learnablepoolingmethods_tpu.data import pipeline, readers
+
+    mcfg = mcfg_for(dims)
+    tcfg = TrainingConfig(
+        batch_size=dims.train_batch, base_learning_rate=dims.train_lr
+    )
+    model = create_model(model_name, mcfg)
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=dims.v,
+        feature_sizes=(dims.rgb, dims.aud),
+        feature_names=("rgb", "audio"),
+        max_frames=dims.maxf,
+    )
+    batches = pipeline.batch_iterator(
+        reader, data_pattern, tcfg.batch_size, num_epochs=None, shuffle=True,
+        seed=0,
+    )
+    first = next(batches)
+    params, bs = step_lib.init_model_variables(
+        model, first, frame_features=True, seed=0
+    )
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    step = jax.jit(
+        step_lib.make_train_step(
+            model, losses.CrossEntropyLoss(), tcfg, mcfg, frame_features=True
+        ),
+        donate_argnums=0,
+    )
+    rng = jax.random.key(0)
+    batch = first
+    for _ in range(dims.train_steps):
+        db = {k: v for k, v in batch.items() if k != "video_id"}
+        state, metrics = step(state, db, rng)
+        batch = next(batches)
+    assert np.isfinite(float(metrics["loss"]))
+
+    params_host = jax.device_get(state.params)
+    bs_host = jax.device_get(state.batch_stats)
+    ref_vars = ci.export_reference_layout(params_host, bs_host, dims.v)
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        for name, val in ref_vars.items():
+            tf1.Variable(initial_value=val, name=name)
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt_path, write_meta_graph=False)
+    return ckpt_path
+
+
+# ---------------------------------------------------------------------------
+# The TF stack: reference-semantics parse + full-graph transcriptions
+# ---------------------------------------------------------------------------
+
+
+def tf_parse_dataset(dims: DrillDims, data_pattern):
+    """readers.py#YT8MFrameFeatureReader transcription: parse →
+    decode_raw(uint8) → Dequantize(2, −2) → resize_axis pad to maxf."""
+
+    def parse(rec):
+        ctx, seq = tf.io.parse_single_sequence_example(
+            rec,
+            context_features={
+                "id": tf.io.FixedLenFeature([], tf.string),
+                "labels": tf.io.VarLenFeature(tf.int64),
+            },
+            sequence_features={
+                "rgb": tf.io.FixedLenSequenceFeature([], tf.string),
+                "audio": tf.io.FixedLenSequenceFeature([], tf.string),
+            },
+        )
+        feats = []
+        for name, width in (("rgb", dims.rgb), ("audio", dims.aud)):
+            raw = tf.cast(tf.io.decode_raw(seq[name], tf.uint8), tf.float32)
+            deq = raw * (4.0 / 255.0) + (4.0 / 512.0 - 2.0)  # utils.Dequantize
+            feats.append(tf.reshape(deq, [-1, width]))
+        x = tf.concat(feats, axis=1)  # [F, D]
+        nf = tf.minimum(tf.shape(x)[0], dims.maxf)
+        x = tf.pad(x[: dims.maxf], [[0, dims.maxf - nf], [0, 0]])  # resize_axis
+        labels = tf.sparse.to_dense(ctx["labels"])
+        multihot = tf.scatter_nd(
+            labels[:, None], tf.ones_like(labels, tf.float32), [dims.v]
+        )
+        return x, multihot, nf
+
+    ds = tf.data.TFRecordDataset(data_pattern).map(parse)
+    xs, ys, nfs = [], [], []
+    for x, y, nf in ds:
+        xs.append(x.numpy())
+        ys.append(y.numpy())
+        nfs.append(int(nf.numpy()))
+    return np.stack(xs), np.stack(ys), np.asarray(nfs, np.int32)
+
+
+def tf_preprocess_and_sample(dims: DrillDims, x, nf):
+    """train.py#build_graph l2-normalize + the deterministic window
+    sampling (iterations == max_frames ⇒ idx_t = min(t, nf−1))."""
+    x = tf.nn.l2_normalize(tf.constant(x), axis=-1)
+    idx = tf.minimum(
+        tf.range(dims.maxf)[None, :], tf.constant(nf)[:, None] - 1
+    )
+    return tf.gather(x, idx, batch_dims=1)  # [N, maxf, D]
+
+
+def tf_bn(x, r, scope):
+    return (x - tf.constant(r.get_tensor(f"{scope}/moving_mean"))) * tf.math.rsqrt(
+        tf.constant(r.get_tensor(f"{scope}/moving_variance")) + BN_EPS
+    ) * tf.constant(r.get_tensor(f"{scope}/gamma")) + tf.constant(
+        r.get_tensor(f"{scope}/beta")
+    )
+
+
+def tf_moe_reference(dims: DrillDims, h, r):
+    """video_level_models.py#MoeModel: mixture-major reshape(-1, M+1)."""
+    m = dims.model_flags["moe_num_mixtures"]
+    gate_act = tf.matmul(h, tf.constant(r.get_tensor("gates/weights")))
+    expert_act = tf.matmul(
+        h, tf.constant(r.get_tensor("experts/weights"))
+    ) + tf.constant(r.get_tensor("experts/biases"))
+    gating = tf.nn.softmax(tf.reshape(gate_act, [-1, m + 1]))
+    expert = tf.nn.sigmoid(tf.reshape(expert_act, [-1, m]))
+    probs = tf.reduce_sum(gating[:, :m] * expert, 1)
+    return tf.reshape(probs, [-1, dims.v])
+
+
+def tf_netvlad_block(x, r, scope, d, k):
+    """video_pooling_modules.py#NetVLAD with assignment BN."""
+    f = x.shape[1]
+    acts = tf.matmul(
+        tf.reshape(x, [-1, d]), tf.constant(r.get_tensor(f"{scope}/cluster_weights"))
+    )
+    acts = tf_bn(acts, r, f"{scope}/cluster_bn")
+    acts = tf.nn.softmax(acts)
+    acts = tf.reshape(acts, [-1, f, k])
+    a_sum = tf.reduce_sum(acts, -2, keepdims=True)
+    a = a_sum * tf.constant(r.get_tensor(f"{scope}/cluster_weights2"))
+    vlad = tf.matmul(tf.transpose(acts, [0, 2, 1]), tf.reshape(x, [-1, f, d]))
+    vlad = tf.transpose(vlad, [0, 2, 1]) - a
+    vlad = tf.nn.l2_normalize(vlad, 1)
+    vlad = tf.reshape(vlad, [-1, k * d])
+    return tf.nn.l2_normalize(vlad, 1)
+
+
+def tf_eval_netvlad(dims: DrillDims, ckpt, x, nf, batch: int = 0):
+    """frame_level_models.py#NetVLADModelLF full graph, reference names.
+
+    ``batch`` > 0 evaluates in chunks (needed at Willow dimensions, where
+    the intermediate [N, maxf, K] / [N, D·K] tensors would otherwise peak
+    several GB); chunking is mathematically a no-op for a per-video
+    forward.
+    """
+    r = tf.train.load_checkpoint(ckpt)
+    k = dims.model_flags["netvlad_cluster_size"]
+    frames_all = tf_preprocess_and_sample(dims, x, nf)
+    n = frames_all.shape[0]
+    batch = batch or n
+    outs = []
+    for s in range(0, n, batch):
+        frames = tf_bn(frames_all[s : s + batch], r, "input_bn")
+        v_rgb = tf_netvlad_block(
+            frames[:, :, : dims.rgb], r, "video_VLAD", dims.rgb, k
+        )
+        v_aud = tf_netvlad_block(
+            frames[:, :, dims.rgb :], r, "audio_VLAD", dims.aud, k // 2
+        )
+        pooled = tf.concat([v_rgb, v_aud], axis=1)
+        h = tf.matmul(
+            pooled, tf.constant(r.get_tensor("hidden1_weights"))
+        ) + tf.constant(r.get_tensor("hidden1_biases"))
+        gates = tf.matmul(h, tf.constant(r.get_tensor("gating_weights")))
+        gates = tf_bn(gates, r, "gating_bn")
+        h = h * tf.nn.sigmoid(gates)
+        outs.append(tf_moe_reference(dims, h, r).numpy())
+    return np.concatenate(outs, axis=0)
+
+
+def tf_eval_dbof(dims: DrillDims, ckpt, x, nf, batch: int = 0):
+    """frame_level_models.py#DbofModel full graph, reference names."""
+    r = tf.train.load_checkpoint(ckpt)
+    c = dims.model_flags["dbof_cluster_size"]
+    frames_all = tf_preprocess_and_sample(dims, x, nf)
+    n = frames_all.shape[0]
+    batch = batch or n
+    outs = []
+    for s in range(0, n, batch):
+        frames = tf_bn(frames_all[s : s + batch], r, "input_bn")
+        acts = tf.matmul(
+            tf.reshape(frames, [-1, dims.d]),
+            tf.constant(r.get_tensor("cluster_weights")),
+        )
+        acts = tf_bn(acts, r, "cluster_bn")
+        acts = tf.nn.relu6(acts)
+        pooled = tf.reduce_max(
+            tf.reshape(acts, [-1, dims.maxf, c]), axis=1
+        )
+        h = tf.matmul(pooled, tf.constant(r.get_tensor("hidden1_weights")))
+        h = tf_bn(h, r, "hidden1_bn")
+        h = tf.nn.relu6(h)
+        outs.append(tf_moe_reference(dims, h, r).numpy())
+    return np.concatenate(outs, axis=0)
+
+
+def tf_stack_metrics(dims: DrillDims, preds, labels):
+    em = eval_util.EvaluationMetrics(dims.v, dims.top_k)
+    em.accumulate(preds, labels, 0.0)
+    return em.get()
+
+
+def our_stack_metrics(dims: DrillDims, data_pattern, ckpt, model_name,
+                      fast_eval, fast_forward=False, int8_hidden=False,
+                      sample_random_frames=None):
+    FLAGS(["gap_parity_drill"])
+    FLAGS.eval_data_pattern = data_pattern
+    FLAGS.reference_checkpoint = ckpt
+    FLAGS.run_once = True
+    FLAGS.fast_eval = fast_eval
+    FLAGS.fast_forward = fast_forward
+    FLAGS.int8_hidden = int8_hidden
+    FLAGS.batch_size = dims.eval_batch
+    FLAGS.top_k = dims.top_k
+    FLAGS.model = model_name
+    FLAGS.frame_features = True
+    FLAGS.feature_names = "rgb,audio"
+    FLAGS.feature_sizes = f"{dims.rgb},{dims.aud}"
+    FLAGS.max_frames = dims.maxf
+    FLAGS.num_classes = dims.v
+    FLAGS.model_parallelism = 1
+    FLAGS.dcn_parallelism = 1
+    FLAGS.use_grain = False
+    FLAGS.packed_cache_dir = ""
+    for name, val in dims.model_flags.items():
+        setattr(FLAGS, name, val)
+    if sample_random_frames is not None:
+        FLAGS.sample_random_frames = sample_random_frames
+    return eval_cli.evaluation_loop()
