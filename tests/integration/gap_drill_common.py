@@ -107,16 +107,7 @@ def train_and_export(dims: DrillDims, model_name, data_pattern, ckpt_path):
     params_host = jax.device_get(state.params)
     bs_host = jax.device_get(state.batch_stats)
     ref_vars = ci.export_reference_layout(params_host, bs_host, dims.v)
-    tf1 = tf.compat.v1
-    g = tf.Graph()
-    with g.as_default():
-        for name, val in ref_vars.items():
-            tf1.Variable(initial_value=val, name=name)
-        saver = tf1.train.Saver()
-        with tf1.Session() as sess:
-            sess.run(tf1.global_variables_initializer())
-            saver.save(sess, ckpt_path, write_meta_graph=False)
-    return ckpt_path
+    return save_reference_ckpt(ref_vars, ckpt_path)
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +266,249 @@ def tf_stack_metrics(dims: DrillDims, preds, labels):
     em = eval_util.EvaluationMetrics(dims.v, dims.top_k)
     em.accumulate(preds, labels, 0.0)
     return em.get()
+
+
+# ---------------------------------------------------------------------------
+# Training-parity drill (round-4 verdict item 2): the TF stack's TRAIN step
+# ---------------------------------------------------------------------------
+
+
+def capture_train_batches(dims: DrillDims, data_pattern, steps: int):
+    """Materialize the first ``steps`` training batches (our pipeline,
+    shuffle seed 0) so both stacks consume the identical byte-for-byte batch
+    order — the shuffle itself is not part of the parity claim."""
+    from learnablepoolingmethods_tpu.data import pipeline, readers
+
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=dims.v,
+        feature_sizes=(dims.rgb, dims.aud),
+        feature_names=("rgb", "audio"),
+        max_frames=dims.maxf,
+    )
+    it = pipeline.batch_iterator(
+        reader, data_pattern, dims.train_batch, num_epochs=None, shuffle=True,
+        seed=0,
+    )
+    out = []
+    for _ in range(steps):
+        b = next(it)
+        assert np.all(np.asarray(b["weights"]) == 1.0), (
+            "training-parity drill requires full batches"
+        )
+        out.append(
+            {k: np.asarray(v) for k, v in b.items() if k != "video_id"}
+        )
+    return out
+
+
+def our_train_run(dims: DrillDims, model_name, batches):
+    """Run ``make_train_step`` over the captured batches.
+
+    Returns (per-step label losses, init reference-layout vars, final
+    reference-layout vars) — init/final in the TF1 reference naming so the
+    TF stack can start from the identical initialization and both final
+    models can be evaluated through the identical eval transcription.
+    """
+    import jax
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+
+    mcfg = mcfg_for(dims)
+    tcfg = TrainingConfig(
+        batch_size=dims.train_batch, base_learning_rate=dims.train_lr
+    )
+    model = create_model(model_name, mcfg)
+    params, bs = step_lib.init_model_variables(
+        model, batches[0], frame_features=True, seed=0
+    )
+    init_vars = ci.export_reference_layout(
+        jax.device_get(params), jax.device_get(bs), dims.v
+    )
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    step = jax.jit(
+        step_lib.make_train_step(
+            model, losses.CrossEntropyLoss(), tcfg, mcfg, frame_features=True
+        ),
+        donate_argnums=0,
+    )
+    rng = jax.random.key(0)
+    loss_hist = []
+    for b in batches:
+        state, metrics = step(state, b, rng)
+        loss_hist.append(float(metrics["label_loss"]))
+    final_vars = ci.export_reference_layout(
+        jax.device_get(state.params), jax.device_get(state.batch_stats), dims.v
+    )
+    return loss_hist, init_vars, final_vars
+
+
+class TfReferenceTrainer:
+    """TF2 transcription of the reference NetVLADModelLF TRAIN step.
+
+    (ref: train.py#build_graph — AdamOptimizer + tf.train.exponential_decay
+    in examples seen + utils.py#clip_gradient_norms per-tensor clip +
+    regularization_penalty · slim-l2 on the MoE head kernels + slim
+    batch_norm updates, decay 0.999 / eps 1e-3.)
+
+    tf.Variables are created from a reference-layout {name: array} dict
+    (core/checkpoint_import.py#export_reference_layout of OUR flax init), so
+    both stacks start bit-identical; Adam is implemented with the TF1 update
+    formula (lr_t = lr·√(1−β₂ᵗ)/(1−β₁ᵗ); p −= lr_t·m/(√v+ε)) — note this
+    differs from optax.adam's ε-inside-correction placement, which is part
+    of what this drill measures.
+    """
+
+    def __init__(self, dims: DrillDims, init_vars, *, base_lr, batch_size,
+                 decay_rate=0.95, decay_examples=4_000_000, clip_norm=1.0,
+                 reg_penalty=1.0, moe_l2=1e-8, b1=0.9, b2=0.999,
+                 adam_eps=1e-8, bn_decay=0.999):
+        self.dims = dims
+        self.base_lr = base_lr
+        self.batch_size = batch_size
+        self.decay_rate = decay_rate
+        self.decay_examples = decay_examples
+        self.clip_norm = clip_norm
+        self.reg_penalty = reg_penalty
+        self.moe_l2 = moe_l2
+        self.b1, self.b2, self.adam_eps = b1, b2, adam_eps
+        self.bn_decay = bn_decay
+        self.k = dims.model_flags["netvlad_cluster_size"]
+        self.vars = {
+            name: tf.Variable(np.asarray(val, np.float32),
+                              name=name.replace("/", "__"))
+            for name, val in init_vars.items()
+        }
+        self.trainable = {
+            n: v for n, v in self.vars.items()
+            if not n.endswith(("moving_mean", "moving_variance"))
+        }
+        self.adam_m = {n: tf.Variable(tf.zeros_like(v))
+                       for n, v in self.trainable.items()}
+        self.adam_v = {n: tf.Variable(tf.zeros_like(v))
+                       for n, v in self.trainable.items()}
+        self.t = 0  # completed optimizer steps
+
+    # -- train-mode building blocks -----------------------------------------
+
+    def _bn_train(self, x, scope):
+        axes = list(range(len(x.shape) - 1))
+        mean, var = tf.nn.moments(x, axes=axes)
+        self._bn_updates.append((f"{scope}/moving_mean", mean))
+        self._bn_updates.append((f"{scope}/moving_variance", var))
+        return (x - mean) * tf.math.rsqrt(var + BN_EPS) * self.vars[
+            f"{scope}/gamma"
+        ] + self.vars[f"{scope}/beta"]
+
+    def _netvlad_block(self, x, scope, d, k):
+        """Train-mode twin of tf_netvlad_block (batch-stat BN)."""
+        f = x.shape[1]
+        acts = tf.matmul(
+            tf.reshape(x, [-1, d]), self.vars[f"{scope}/cluster_weights"]
+        )
+        acts = self._bn_train(acts, f"{scope}/cluster_bn")
+        acts = tf.nn.softmax(acts)
+        acts = tf.reshape(acts, [-1, f, k])
+        a_sum = tf.reduce_sum(acts, -2, keepdims=True)
+        a = a_sum * self.vars[f"{scope}/cluster_weights2"]
+        vlad = tf.matmul(tf.transpose(acts, [0, 2, 1]), tf.reshape(x, [-1, f, d]))
+        vlad = tf.transpose(vlad, [0, 2, 1]) - a
+        vlad = tf.nn.l2_normalize(vlad, 1)
+        vlad = tf.reshape(vlad, [-1, k * d])
+        return tf.nn.l2_normalize(vlad, 1)
+
+    def _forward_train(self, feats_u8, nf):
+        dims = self.dims
+        x = tf.cast(feats_u8, tf.float32) * (4.0 / 255.0) + (4.0 / 512.0 - 2.0)
+        x = tf.nn.l2_normalize(x, axis=-1)
+        nf = tf.minimum(tf.cast(nf, tf.int32), dims.maxf)
+        idx = tf.minimum(tf.range(dims.maxf)[None, :], nf[:, None] - 1)
+        frames = tf.gather(x, idx, batch_dims=1)  # deterministic window
+        frames = self._bn_train(frames, "input_bn")
+        v_rgb = self._netvlad_block(
+            frames[:, :, : dims.rgb], "video_VLAD", dims.rgb, self.k
+        )
+        v_aud = self._netvlad_block(
+            frames[:, :, dims.rgb:], "audio_VLAD", dims.aud, self.k // 2
+        )
+        pooled = tf.concat([v_rgb, v_aud], axis=1)
+        h = tf.matmul(pooled, self.vars["hidden1_weights"]) + self.vars[
+            "hidden1_biases"
+        ]
+        gates = tf.matmul(h, self.vars["gating_weights"])
+        gates = self._bn_train(gates, "gating_bn")
+        h = h * tf.nn.sigmoid(gates)
+        m = self.dims.model_flags["moe_num_mixtures"]
+        gate_act = tf.matmul(h, self.vars["gates/weights"])
+        expert_act = tf.matmul(h, self.vars["experts/weights"]) + self.vars[
+            "experts/biases"
+        ]
+        gating = tf.nn.softmax(tf.reshape(gate_act, [-1, m + 1]))
+        expert = tf.nn.sigmoid(tf.reshape(expert_act, [-1, m]))
+        probs = tf.reduce_sum(gating[:, :m] * expert, 1)
+        return tf.reshape(probs, [-1, self.dims.v])
+
+    # -- one reference train step -------------------------------------------
+
+    def step(self, batch) -> float:
+        labels = tf.constant(np.asarray(batch["labels"], np.float32))
+        with tf.GradientTape() as tape:
+            self._bn_updates = []
+            preds = self._forward_train(
+                tf.constant(batch["features"]), tf.constant(batch["num_frames"])
+            )
+            eps = 10e-6  # losses.py#CrossEntropyLoss
+            ce = labels * tf.math.log(preds + eps) + (1.0 - labels) * tf.math.log(
+                1.0 - preds + eps
+            )
+            label_loss = tf.reduce_mean(tf.reduce_sum(-ce, 1))
+            reg = 0.5 * self.moe_l2 * (
+                tf.reduce_sum(tf.square(self.vars["gates/weights"]))
+                + tf.reduce_sum(tf.square(self.vars["experts/weights"]))
+            )
+            total = label_loss + self.reg_penalty * reg
+        names = list(self.trainable)
+        grads = tape.gradient(total, [self.trainable[n] for n in names])
+        # slim BN moving-stat updates (decay 0.999, batch statistics)
+        for name, stat in self._bn_updates:
+            v = self.vars[name]
+            v.assign(self.bn_decay * v + (1.0 - self.bn_decay) * stat)
+        # lr: exponential_decay(base, global_step·batch, decay_examples, rate)
+        lr = self.base_lr * self.decay_rate ** (
+            self.t * self.batch_size / self.decay_examples
+        )
+        self.t += 1
+        lr_t = lr * np.sqrt(1.0 - self.b2 ** self.t) / (1.0 - self.b1 ** self.t)
+        for n, g in zip(names, grads):
+            if g is None:
+                continue
+            norm = tf.norm(g)
+            g = g * tf.minimum(1.0, self.clip_norm / tf.maximum(norm, 1e-20))
+            m, v = self.adam_m[n], self.adam_v[n]
+            m.assign(self.b1 * m + (1.0 - self.b1) * g)
+            v.assign(self.b2 * v + (1.0 - self.b2) * tf.square(g))
+            self.trainable[n].assign_sub(
+                lr_t * m / (tf.sqrt(v) + self.adam_eps)
+            )
+        return float(label_loss)
+
+    def export(self):
+        return {n: v.numpy() for n, v in self.vars.items()}
+
+
+def save_reference_ckpt(ref_vars, ckpt_path):
+    """Write a {name: array} dict as a TF1-Saver checkpoint."""
+    tf1 = tf.compat.v1
+    g = tf.Graph()
+    with g.as_default():
+        for name, val in ref_vars.items():
+            tf1.Variable(initial_value=val, name=name)
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, ckpt_path, write_meta_graph=False)
+    return ckpt_path
 
 
 def our_stack_metrics(dims: DrillDims, data_pattern, ckpt, model_name,
