@@ -205,6 +205,7 @@ def make_learnable_synthetic_frame_level(
     seed: int = 0,
     label_threshold: float = 1.0,
     min_labels: int = 0,
+    active_classes: int = 0,
 ) -> List[dict]:
     """Learnable frame-level dataset: every frame is a noisy copy of a
     per-video latent, labels are a linear function of the latent — so a
@@ -217,10 +218,17 @@ def make_learnable_synthetic_frame_level(
     per video) instead of the ~50% density the default gives.
     ``min_labels`` guarantees at least that many labels per video (the
     top-scoring classes), so no video is label-free under a high threshold.
+    ``active_classes`` > 0 restricts label mass to the first that-many
+    classes: at V=3862 a model cannot learn ~6 scattered positives per
+    video in the few dozen steps a full-shape drill can afford (measured:
+    GAP stayed at chance), but all tensor shapes — vocab FC, metric
+    accumulation — keep the full V while the LEARNING problem shrinks to
+    the active subset.
     """
     rng = np.random.default_rng(seed)
     d = rgb_size + audio_size
-    w = rng.normal(size=(d, num_classes)).astype(np.float32)
+    n_scored = active_classes if active_classes > 0 else num_classes
+    w = rng.normal(size=(d, n_scored)).astype(np.float32)
     truth = []
     with open(path, "wb") as f:
         for i in range(num_videos):
@@ -241,3 +249,66 @@ def make_learnable_synthetic_frame_level(
             write_tfrecord(f, encode_frame_sequence_example(vid, labels, rgb, audio))
             truth.append({"video_id": vid, "labels": labels, "z": z})
     return truth
+
+
+def write_frame_level_shards(
+    out_dir: str,
+    num_videos: int,
+    num_shards: int = 16,
+    num_classes: int = 3862,
+    rgb_size: int = 1024,
+    audio_size: int = 128,
+    max_frames: int = 300,
+    min_frames: int = 10,
+    seed: int = 0,
+) -> List[str]:
+    """Sharded frame-level fixture fast enough for O(100k)-video ingest
+    rehearsals (round-4 verdict item 4).
+
+    Wire-format-identical to the YT-8M layout (same framing, CRCs, and
+    SequenceExample fields the real readers exercise); feature BYTES come
+    from one shared random pool sliced per video instead of per-video RNG
+    draws — parse/CRC cost is value-independent, so the ingest measurement
+    is unchanged while generation keeps up with multi-GB sets.
+    """
+    import os
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    d = rgb_size + audio_size
+    # shared entropy pool: enough rows for the largest video + stride wiggle
+    pool = rng.integers(0, 256, size=(max_frames + 1024, d), dtype=np.uint8)
+    pool_rows = pool.shape[0]
+    n_frames_all = rng.integers(min_frames, max_frames + 1, size=num_videos)
+    n_labels_all = rng.integers(1, 6, size=num_videos)
+    per_shard = (num_videos + num_shards - 1) // num_shards
+    paths = []
+    vid_idx = 0
+    for s in range(num_shards):
+        path = os.path.join(
+            out_dir, f"train-{s:05d}-of-{num_shards:05d}.tfrecord"
+        )
+        paths.append(path)
+        with open(path, "wb") as f:
+            for _ in range(min(per_shard, num_videos - vid_idx)):
+                nf = int(n_frames_all[vid_idx])
+                start = (vid_idx * 131) % (pool_rows - nf)
+                frames = pool[start : start + nf]
+                labels = sorted(
+                    rng.choice(
+                        num_classes, size=int(n_labels_all[vid_idx]),
+                        replace=False,
+                    ).tolist()
+                )
+                write_tfrecord(
+                    f,
+                    encode_frame_sequence_example(
+                        f"scale{vid_idx:07d}".encode(),
+                        labels,
+                        frames[:, :rgb_size],
+                        frames[:, rgb_size:],
+                    ),
+                )
+                vid_idx += 1
+    assert vid_idx == num_videos
+    return paths

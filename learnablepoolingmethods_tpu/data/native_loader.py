@@ -68,6 +68,21 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_char_p,
         ]
+        lib.lpm_parse_frame_file_range.restype = ctypes.c_int64
+        lib.lpm_parse_frame_file_range.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64]
+            + list(lib.lpm_parse_frame_file.argtypes[1:])
+        )
+        lib.lpm_parse_video_file_range.restype = ctypes.c_int64
+        lib.lpm_parse_video_file_range.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64]
+            + list(lib.lpm_parse_video_file.argtypes[1:])
+        )
+        lib.lpm_chunk_offsets.restype = ctypes.c_int64
+        lib.lpm_chunk_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
         lib.lpm_parse_frame_record.restype = ctypes.c_int32
         lib.lpm_parse_frame_record.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
@@ -115,26 +130,50 @@ def count_records(path: str) -> int:
     return int(n)
 
 
+def chunk_offsets(path: str, chunk_records: int) -> List[int]:
+    """Byte offsets where every ``chunk_records``-record chunk starts (a
+    framing-only fseek walk).  Feed each offset to ``parse_frame_file`` /
+    ``parse_video_file`` with ``start_offset=``/``max_records=`` to parse a
+    file in bounded-memory chunks."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_load_error}")
+    cap = 1024
+    while True:
+        out = (ctypes.c_int64 * cap)()
+        n = lib.lpm_chunk_offsets(path.encode(), chunk_records, out, cap)
+        if n < 0:
+            raise IOError(f"cannot read {path}")
+        if n < cap:
+            return list(out[: int(n)])
+        cap *= 8
+
+
 def parse_frame_file(
     path: str,
     max_frames: int = 300,
     feature_sizes: Sequence[int] = (1024, 128),
     feature_names: Sequence[str] = ("rgb", "audio"),
     num_classes: int = 3862,
+    start_offset: int = 0,
+    max_records: Optional[int] = None,
 ):
-    """→ dict(features [N,F,D] uint8, num_frames [N], labels [N,V], video_id list)."""
+    """→ dict(features [N,F,D] uint8, num_frames [N], labels [N,V], video_id list).
+
+    ``start_offset``/``max_records`` select one chunk (offsets from
+    ``chunk_offsets``); the default parses the whole file."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_load_error}")
-    cap = count_records(path)
+    cap = count_records(path) if max_records is None else int(max_records)
     total = sum(feature_sizes)
     frames = np.zeros((cap, max_frames, total), np.uint8)
     num_frames = np.zeros(cap, np.int32)
     labels = np.zeros((cap, num_classes), np.float32)
     vids = ctypes.create_string_buffer(cap * ID_WIDTH)
     sizes = (ctypes.c_int32 * len(feature_sizes))(*feature_sizes)
-    n = lib.lpm_parse_frame_file(
-        path.encode(), max_frames, sizes, len(feature_sizes),
+    n = lib.lpm_parse_frame_file_range(
+        path.encode(), start_offset, max_frames, sizes, len(feature_sizes),
         _pack_names(feature_names), num_classes, cap, ID_WIDTH,
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         num_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -161,19 +200,21 @@ def parse_video_file(
     feature_sizes: Sequence[int] = (1024, 128),
     feature_names: Sequence[str] = ("mean_rgb", "mean_audio"),
     num_classes: int = 3862,
+    start_offset: int = 0,
+    max_records: Optional[int] = None,
 ):
     """→ dict(features [N,D] float32, labels [N,V], video_id list)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native loader unavailable: {_load_error}")
-    cap = count_records(path)
+    cap = count_records(path) if max_records is None else int(max_records)
     total = sum(feature_sizes)
     feats = np.zeros((cap, total), np.float32)
     labels = np.zeros((cap, num_classes), np.float32)
     vids = ctypes.create_string_buffer(cap * ID_WIDTH)
     sizes = (ctypes.c_int32 * len(feature_sizes))(*feature_sizes)
-    n = lib.lpm_parse_video_file(
-        path.encode(), sizes, len(feature_sizes),
+    n = lib.lpm_parse_video_file_range(
+        path.encode(), start_offset, sizes, len(feature_sizes),
         _pack_names(feature_names), num_classes, cap, ID_WIDTH,
         feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -279,9 +320,43 @@ def parse_files_parallel(
     **kwargs,
 ) -> Iterator[dict]:
     """Parse many files concurrently (GIL released inside the C calls),
-    yielding per-file dicts in input order."""
+    yielding per-file (or per-chunk) dicts in input order.
+
+    Submission is a BOUNDED window of ``num_workers + 1`` tasks, not the
+    whole list: a parsed frame-level file is ~1 GB of padded arrays, and a
+    consumer slower than the parsers (e.g. packed_cache.build_cache writing
+    its memmap) would otherwise accumulate every completed future in RAM —
+    measured 17.9 GB peak RSS on a 50k-video / 16-shard build before the
+    window (ingest-scale rehearsal, round 4; 1.1 GB after window+chunking).
+
+    ``chunk_records > 0`` additionally splits every file into fixed-record
+    chunks (byte offsets from a framing-only fseek walk, parsed
+    independently via the C range entry points), so peak memory is
+    ``(num_workers + 1) × chunk_records`` padded rows — independent of BOTH
+    dataset and shard size.  Record order is preserved."""
+    chunk_records = int(kwargs.pop("chunk_records", 0) or 0)
     fn = parse_frame_file if frame_level else parse_video_file
+    from collections import deque
+
+    def tasks() -> Iterator[dict]:
+        for p in paths:
+            if chunk_records > 0:
+                for off in chunk_offsets(p, chunk_records):
+                    yield dict(path=p, start_offset=off,
+                               max_records=chunk_records, **kwargs)
+            else:
+                yield dict(path=p, **kwargs)
+
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        futures = [pool.submit(fn, p, **kwargs) for p in paths]
-        for fut in futures:
+        it = tasks()
+        inflight: deque = deque()
+        for t in it:
+            inflight.append(pool.submit(fn, **t))
+            if len(inflight) > num_workers:
+                break
+        while inflight:
+            fut = inflight.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                inflight.append(pool.submit(fn, **nxt))
             yield fut.result()

@@ -114,6 +114,7 @@ def native_batch_iterator(
     pad_final_batch: bool = True,
     shard_index: int = 0,
     num_shards: int = 1,
+    chunk_records: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator over the native C++ parser (data/native_loader.py).
 
@@ -122,6 +123,13 @@ def native_batch_iterator(
     batches are sliced out with an optional per-epoch permutation.  Falls
     back to the Python reader automatically if the native library is
     unavailable.
+
+    ``chunk_records > 0`` parses each file in fixed-record chunks (native
+    range entry points), bounding peak memory independent of shard size —
+    the packed-cache build uses this.  With ``shuffle`` the within-parse
+    permutation then covers a chunk instead of a whole file (file order is
+    still permuted per epoch); the fallback Python reader ignores it (it
+    already streams record-by-record).
 
     Multi-host: ``shard_index``/``num_shards`` select a disjoint file-level
     shard per process, matching ``batch_iterator`` — without it every host
@@ -173,7 +181,8 @@ def native_batch_iterator(
         if shuffle:
             rng.shuffle(epoch_files)
         for out in native_loader.parse_files_parallel(
-            epoch_files, frame_level=frame_level, num_workers=num_workers, **kwargs
+            epoch_files, frame_level=frame_level, num_workers=num_workers,
+            chunk_records=chunk_records, **kwargs
         ):
             n = out["features"].shape[0]
             order = rng.permutation(n) if shuffle else np.arange(n)

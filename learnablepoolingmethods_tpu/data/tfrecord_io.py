@@ -30,24 +30,30 @@ _U32 = struct.Struct("<I")
 # TFRecord framing
 # ---------------------------------------------------------------------------
 
-# CRC32C table (Castagnoli polynomial 0x82F63B78), for optional verification
+# CRC32C (Castagnoli polynomial 0x82F63B78).  The C implementation
+# (google_crc32c, ~GB/s) makes large fixture WRITES feasible — the pure-
+# Python table (~6 MB/s) throttled the 50k-video ingest rehearsal's
+# generator; the table stays as the zero-dependency fallback.
 _CRC_TABLE = None
 
+try:
+    from google_crc32c import value as _crc32c  # type: ignore
+except ImportError:  # pragma: no cover - exercised only without the wheel
 
-def _crc32c(data: bytes) -> int:
-    global _CRC_TABLE
-    if _CRC_TABLE is None:
-        table = []
-        for i in range(256):
-            crc = i
-            for _ in range(8):
-                crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
-            table.append(crc)
-        _CRC_TABLE = table
-    crc = 0xFFFFFFFF
-    for b in data:
-        crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
-    return crc ^ 0xFFFFFFFF
+    def _crc32c(data: bytes) -> int:
+        global _CRC_TABLE
+        if _CRC_TABLE is None:
+            table = []
+            for i in range(256):
+                crc = i
+                for _ in range(8):
+                    crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+                table.append(crc)
+            _CRC_TABLE = table
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        return crc ^ 0xFFFFFFFF
 
 
 def _masked_crc(data: bytes) -> int:

@@ -302,17 +302,25 @@ void parse_video_record(Span record, const FeatureSpec& spec, float* feat_out,
 
 extern "C" {
 
-// Parse a frame-level (SequenceExample) TFRecord file into packed arrays.
-// feature_names: concatenated NUL-separated names, n_features of them.
-// Returns number of records written (<= max_records), or -1 on error.
-int64_t lpm_parse_frame_file(const char* path, int32_t max_frames,
-                             const int32_t* feature_sizes, int32_t n_features,
-                             const char* feature_names, int32_t num_classes,
-                             int64_t max_records, int32_t id_width,
-                             uint8_t* out_frames, int32_t* out_num_frames,
-                             float* out_labels, char* out_video_ids) {
+// Parse a frame-level (SequenceExample) TFRecord file into packed arrays,
+// starting at byte offset start_offset (0 = beginning; offsets come from
+// lpm_chunk_offsets, which walks the framing).  feature_names: concatenated
+// NUL-separated names, n_features of them.  Returns number of records
+// written (<= max_records), or -1 on error.  The range form is what bounds
+// the packed-cache build's memory: a shard parses in fixed-record chunks
+// instead of one whole-file array (data/native_loader.py#iter_chunk_tasks).
+int64_t lpm_parse_frame_file_range(
+    const char* path, int64_t start_offset, int32_t max_frames,
+    const int32_t* feature_sizes, int32_t n_features,
+    const char* feature_names, int32_t num_classes, int64_t max_records,
+    int32_t id_width, uint8_t* out_frames, int32_t* out_num_frames,
+    float* out_labels, char* out_video_ids) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  if (start_offset > 0 && fseek(f, static_cast<long>(start_offset), SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
 
   FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
   std::vector<uint8_t> buf;
@@ -342,6 +350,19 @@ int64_t lpm_parse_frame_file(const char* path, int32_t max_frames,
   return count;
 }
 
+// Whole-file form (start_offset = 0), kept as the stable entry point.
+int64_t lpm_parse_frame_file(const char* path, int32_t max_frames,
+                             const int32_t* feature_sizes, int32_t n_features,
+                             const char* feature_names, int32_t num_classes,
+                             int64_t max_records, int32_t id_width,
+                             uint8_t* out_frames, int32_t* out_num_frames,
+                             float* out_labels, char* out_video_ids) {
+  return lpm_parse_frame_file_range(
+      path, 0, max_frames, feature_sizes, n_features, feature_names,
+      num_classes, max_records, id_width, out_frames, out_num_frames,
+      out_labels, out_video_ids);
+}
+
 // Single SequenceExample blob (e.g. one HTTP-posted serving record) →
 // zero-padded [max_frames, total] uint8 row + num_frames.  Returns 0, or
 // -1 on malformed framing (absent features parse as zero rows, matching
@@ -359,14 +380,19 @@ int32_t lpm_parse_frame_record(const uint8_t* data, int64_t len,
   return 0;
 }
 
-// Parse a video-level (Example) TFRecord file into packed arrays.
-int64_t lpm_parse_video_file(const char* path, const int32_t* feature_sizes,
-                             int32_t n_features, const char* feature_names,
-                             int32_t num_classes, int64_t max_records,
-                             int32_t id_width, float* out_features,
-                             float* out_labels, char* out_video_ids) {
+// Parse a video-level (Example) TFRecord file into packed arrays, starting
+// at byte offset start_offset (see lpm_parse_frame_file_range).
+int64_t lpm_parse_video_file_range(
+    const char* path, int64_t start_offset, const int32_t* feature_sizes,
+    int32_t n_features, const char* feature_names, int32_t num_classes,
+    int64_t max_records, int32_t id_width, float* out_features,
+    float* out_labels, char* out_video_ids) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  if (start_offset > 0 && fseek(f, static_cast<long>(start_offset), SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
 
   FeatureSpec spec = make_spec(feature_sizes, n_features, feature_names);
   std::vector<uint8_t> buf;
@@ -392,6 +418,49 @@ int64_t lpm_parse_video_file(const char* path, const int32_t* feature_sizes,
   }
   fclose(f);
   return count;
+}
+
+// Whole-file form (start_offset = 0), kept as the stable entry point.
+int64_t lpm_parse_video_file(const char* path, const int32_t* feature_sizes,
+                             int32_t n_features, const char* feature_names,
+                             int32_t num_classes, int64_t max_records,
+                             int32_t id_width, float* out_features,
+                             float* out_labels, char* out_video_ids) {
+  return lpm_parse_video_file_range(path, 0, feature_sizes, n_features,
+                                    feature_names, num_classes, max_records,
+                                    id_width, out_features, out_labels,
+                                    out_video_ids);
+}
+
+// Byte offsets of chunk boundaries: out_offsets[i] is where record
+// i*chunk_records starts (a framing-only fseek walk, no payload reads).
+// Returns the number of chunks written (<= max_chunks; the record count is
+// NOT returned — pair with lpm_count_records), or -1 on error.
+int64_t lpm_chunk_offsets(const char* path, int64_t chunk_records,
+                          int64_t* out_offsets, int64_t max_chunks) {
+  if (chunk_records <= 0) return -1;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  int64_t count = 0, n_chunks = 0;
+  int64_t pos = 0;
+  uint8_t header[12];
+  for (;;) {
+    if (count % chunk_records == 0) {
+      if (n_chunks == max_chunks) break;
+      out_offsets[n_chunks++] = pos;
+    }
+    if (fread(header, 1, 12, f) != 12) break;
+    uint64_t length;
+    memcpy(&length, header, 8);
+    if (fseek(f, static_cast<long>(length) + 4, SEEK_CUR) != 0) break;
+    pos += 12 + static_cast<int64_t>(length) + 4;
+    count++;
+  }
+  fclose(f);
+  // drop a trailing boundary that has no records after it
+  if (n_chunks > 0 && count % chunk_records == 0 && count / chunk_records < n_chunks)
+    n_chunks--;
+  return n_chunks;
 }
 
 // Single Example blob → [total] float feature row.  Returns 0, or -1 on

@@ -278,3 +278,71 @@ def test_video_record_fuzz_parity(data):
         np.asarray(fmap["mean_audio"].float_list, np.float32),
     ])
     np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_parse_equals_whole_file(tmp_path):
+    """Range entry points (the packed-cache build's bounded-memory path):
+    chunked parse at any chunk size — including exact-multiple boundaries
+    and chunks larger than the file — reassembles to the whole-file parse
+    bit-for-bit, in order."""
+    paths = fixtures.write_frame_level_shards(
+        str(tmp_path), 53, num_shards=2, num_classes=40, rgb_size=16,
+        audio_size=4, max_frames=12, min_frames=2, seed=3,
+    )
+    kw = dict(max_frames=12, feature_sizes=(16, 4),
+              feature_names=("rgb", "audio"), num_classes=40)
+    p = paths[0]
+    n = native_loader.count_records(p)
+    whole = native_loader.parse_frame_file(p, **kw)
+    for chunk in (1, 7, 9, n, n + 50):
+        offs = native_loader.chunk_offsets(p, chunk)
+        assert len(offs) == -(-n // chunk), (chunk, len(offs), n)
+        parts = [
+            native_loader.parse_frame_file(
+                p, start_offset=o, max_records=chunk, **kw
+            )
+            for o in offs
+        ]
+        np.testing.assert_array_equal(
+            np.concatenate([q["features"] for q in parts]), whole["features"]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([q["labels"] for q in parts]), whole["labels"]
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([q["num_frames"] for q in parts]),
+            whole["num_frames"],
+        )
+        assert sum((q["video_id"] for q in parts), []) == whole["video_id"]
+
+    # chunked + parallel across files == unchunked, same order
+    plain = list(native_loader.parse_files_parallel(
+        paths, frame_level=True, num_workers=2, **kw))
+    chunked = list(native_loader.parse_files_parallel(
+        paths, frame_level=True, num_workers=2, chunk_records=5, **kw))
+    np.testing.assert_array_equal(
+        np.concatenate([q["features"] for q in plain]),
+        np.concatenate([q["features"] for q in chunked]),
+    )
+
+
+def test_chunked_parse_video_level(tmp_path):
+    path = str(tmp_path / "v.tfrecord")
+    fixtures.write_video_level_fixture(
+        path, num_videos=11, num_classes=10, rgb_size=6, audio_size=2
+    )
+    kw = dict(feature_sizes=(6, 2), feature_names=("mean_rgb", "mean_audio"),
+              num_classes=10)
+    whole = native_loader.parse_video_file(path, **kw)
+    offs = native_loader.chunk_offsets(path, 4)
+    assert len(offs) == 3
+    parts = [
+        native_loader.parse_video_file(
+            path, start_offset=o, max_records=4, **kw
+        )
+        for o in offs
+    ]
+    np.testing.assert_array_equal(
+        np.concatenate([q["features"] for q in parts]), whole["features"]
+    )
+    assert sum((q["video_id"] for q in parts), []) == whole["video_id"]
