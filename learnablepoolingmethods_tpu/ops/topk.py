@@ -1,19 +1,21 @@
-"""Exact two-stage top-k for wide score rows (ref: inference.py#inference
-top_k / eval_util.py#top_k_by_class semantics — exact values, ties broken by
-lower index, identical to ``jax.lax.top_k``).
+"""Exact top-k for wide score rows (ref: inference.py#inference top_k /
+eval_util.py#top_k_by_class semantics — exact values, ties broken by lower
+index, identical to ``jax.lax.top_k``).
 
-``jax.lax.top_k`` over the full [B, V≈3862] row costs ~0.88 ms at B=512 on
-the v5e — the single most expensive op in the inference tail (top-20 needs
-none of that work).  This op splits the row into 128-wide groups, takes a
-local top-k per group, and reduces the ≤ ceil(V/128)·k candidates with one
-narrow top-k: measured 0.34 ms at B=512, V=3862, k=20 (2.6×).
+``top_k_exact`` is the semantic seam every hot tail calls (fast_infer /
+fast_dbof tails, metrics partials, predict step).  It now simply delegates
+to ``jax.lax.top_k``: the two-stage grouped split below (local top-k per
+128-wide group → narrow reduce) measured 2.6× faster in an ISOLATED
+microbench (0.34 ms vs 0.88 ms at B=512, V=3862, k=20), but IN-PROGRAM —
+same process, back-to-back jits of the full NetVLAD-256 inference chain —
+the plain ``lax.top_k`` tail costs 0.12 ms where the grouped one costs
+0.33–0.42 ms.  The isolated 0.88 ms figure was an artifact of measuring the
+op behind its own dispatch; the grouped variant was the round-1→round-3
+bench decline (80.7k → 77.8k videos/s, BASELINE.md round-4 bisect row).
 
-Tie semantics are preserved exactly: stage-1 orders ties by lower index
-within each group, and the candidate array is laid out group-major, so the
-stage-2 stable selection sees candidates in global index order — the same
-"lowest index wins" rule ``lax.top_k`` applies.  Verified bit-exact against
-``lax.top_k`` (values and indices) in tests/unit/test_topk.py, including
-tie-heavy quantized inputs.
+``top_k_grouped`` is kept (tested bit-exact in tests/unit/test_topk.py) as
+the record of that negative result and for shapes where a candidate-pool
+split may still pay (V ≫ 10⁴); nothing in the hot paths uses it.
 """
 
 from __future__ import annotations
@@ -25,10 +27,19 @@ _GROUP = 128
 
 
 def top_k_exact(scores: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ``jax.lax.top_k(scores, k)`` on 2-D inputs.
+    """Exact top-k with ``jax.lax.top_k`` semantics (values, indices)."""
+    values, indices = jax.lax.top_k(scores, k)
+    return values, indices
 
-    scores [B, V] (any float dtype); returns (values [B, k], indices [B, k])
-    with identical values, ordering, and tie-breaking.
+
+def top_k_grouped(scores: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage grouped top-k — bit-identical to ``lax.top_k`` on 2-D
+    inputs, measured SLOWER in-program at YT-8M shapes (module docstring).
+
+    Tie semantics are preserved exactly: stage-1 orders ties by lower index
+    within each group, and the candidate array is laid out group-major, so
+    the stage-2 stable selection sees candidates in global index order — the
+    same "lowest index wins" rule ``lax.top_k`` applies.
     """
     if scores.ndim != 2:
         return jax.lax.top_k(scores, k)
