@@ -60,6 +60,54 @@ def mcfg_for(dims: DrillDims) -> ModelConfig:
     return ModelConfig(vocab_size=dims.v, **dims.model_flags)
 
 
+# --- Full-Willow-dimension drill instantiation (round-4 verdict item 1) ---
+#
+# Shared between the TPU trainer (tools/drill_train_fullshape_tpu.py — a
+# 285M-param model cannot be trained to a non-vacuous GAP in the CPU-step
+# budget a pytest run affords; measured: 40 CPU steps ≈ 29 min stayed at
+# chance) and the CPU eval drill (test_gap_parity_drill_fullshape.py).
+
+FULLSHAPE_DIMS = DrillDims(
+    n_videos=200,
+    v=3862,
+    rgb=1024,
+    aud=128,
+    maxf=300,
+    train_steps=4000,  # executed by the TPU trainer, not in-test
+    train_batch=64,
+    train_lr=0.01,
+    eval_batch=32,
+    model_flags=dict(
+        iterations=300,
+        sample_random_frames=False,
+        netvlad_cluster_size=256,  # Willow config 4 (BASELINE.json)
+        netvlad_hidden_size=1024,
+        moe_num_mixtures=2,
+    ),
+)
+
+# label_threshold ≈ 2.96 σ (σ = sqrt(D) ≈ 33.9) → YT-8M-like sparse labels
+# (~a few per video out of 3862); min_labels keeps every video scoreable.
+FULLSHAPE_FIXTURE = dict(
+    num_videos=FULLSHAPE_DIMS.n_videos,
+    num_classes=FULLSHAPE_DIMS.v,
+    rgb_size=FULLSHAPE_DIMS.rgb,
+    audio_size=FULLSHAPE_DIMS.aud,
+    max_frames=FULLSHAPE_DIMS.maxf,
+    seed=7,
+    label_threshold=100.0,
+    min_labels=3,
+)
+
+
+def make_fullshape_fixture(data_path: str):
+    from learnablepoolingmethods_tpu.data.fixtures import (
+        make_learnable_synthetic_frame_level,
+    )
+
+    return make_learnable_synthetic_frame_level(data_path, **FULLSHAPE_FIXTURE)
+
+
 def train_and_export(dims: DrillDims, model_name, data_pattern, ckpt_path):
     """A few train steps on the drill set → TF1 checkpoint under reference
     variable names."""

@@ -23,11 +23,14 @@ Four measured deltas (each budget ≤ 1e-3):
 4. Δ_int8 = |GAP_fused_bf16 − GAP_fused(--int8_hidden)| (identical keys) —
    the int8 hidden-FC quantization error at the real [278528, 1024] shape.
 
-Gated behind LPM_FULL_SHAPE=1: one run takes tens of minutes on this
-1-core host (the default suite budget is ~20 min total).  Run:
+Two-stage run (the 285M-param model cannot be trained to a non-vacuous GAP
+in a CPU pytest budget — measured: 40 CPU steps ≈ 29 min stayed at chance
+GAP 2.5e-5 — so the checkpoint is trained ONCE on the real chip and the
+eval arms, which are the thing under test, run CPU-only as usual):
 
-    LPM_FULL_SHAPE=1 python -m pytest \
-        tests/integration/test_gap_parity_drill_fullshape.py -q -s
+    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill
+    LPM_FULL_SHAPE=1 LPM_DRILL_DIR=/tmp/fullshape_drill \
+        python -m pytest tests/integration/test_gap_parity_drill_fullshape.py -q -s
 
 Measured results are recorded in BASELINE.md ("full Willow dimensions"
 rows).
@@ -38,9 +41,6 @@ import time
 
 import pytest
 
-from learnablepoolingmethods_tpu.data.fixtures import (
-    make_learnable_synthetic_frame_level,
-)
 from tests.integration import gap_drill_common as gd
 
 pytestmark = pytest.mark.skipif(
@@ -48,50 +48,24 @@ pytestmark = pytest.mark.skipif(
     reason="full-Willow-dimension drill (tens of minutes); set LPM_FULL_SHAPE=1",
 )
 
-N_VIDEOS = 200
-V, RGB, AUD, MAXF = 3862, 1024, 128, 300
-
-DIMS = gd.DrillDims(
-    n_videos=N_VIDEOS,
-    v=V,
-    rgb=RGB,
-    aud=AUD,
-    maxf=MAXF,
-    train_steps=40,
-    train_batch=32,
-    train_lr=0.02,
-    eval_batch=32,
-    model_flags=dict(
-        iterations=MAXF,
-        sample_random_frames=False,
-        netvlad_cluster_size=256,   # Willow config 4 (BASELINE.json)
-        netvlad_hidden_size=1024,
-        moe_num_mixtures=2,
-    ),
-)
+DIMS = gd.FULLSHAPE_DIMS
 
 
 @pytest.fixture(scope="module")
-def drill(tmp_path_factory):
-    root = str(tmp_path_factory.mktemp("gapdrill_full"))
+def drill():
+    root = os.environ.get("LPM_DRILL_DIR", "")
     data = os.path.join(root, "val0.tfrecord")
+    ckpt = os.path.join(root, "NetVLADModelLF.ckpt")
+    if not (root and os.path.exists(data) and os.path.exists(ckpt + ".index")):
+        pytest.skip(
+            "prebuilt drill dir required: run "
+            "`python tools/drill_train_fullshape_tpu.py --dir <dir>` on the "
+            "TPU and set LPM_DRILL_DIR=<dir>"
+        )
     t0 = time.time()
-    # label_threshold ≈ 2.96 σ (σ = sqrt(D) ≈ 33.9) → YT-8M-like sparse
-    # labels (~a few per video out of 3862) instead of the ~50% density the
-    # toy drill uses at V=32; min_labels keeps every video scoreable.
-    make_learnable_synthetic_frame_level(
-        data, num_videos=N_VIDEOS, num_classes=V, rgb_size=RGB,
-        audio_size=AUD, max_frames=MAXF, seed=7,
-        label_threshold=100.0, min_labels=3,
-    )
     x, labels, nf = gd.tf_parse_dataset(DIMS, data)
-    assert x.shape == (N_VIDEOS, MAXF, DIMS.d)
-    print(f"\n[fullshape] fixture+parse {time.time() - t0:.0f}s", flush=True)
-    t0 = time.time()
-    ckpt = gd.train_and_export(
-        DIMS, "NetVLADModelLF", data, os.path.join(root, "NetVLADModelLF.ckpt")
-    )
-    print(f"[fullshape] train+export {time.time() - t0:.0f}s", flush=True)
+    assert x.shape == (DIMS.n_videos, DIMS.maxf, DIMS.d)
+    print(f"\n[fullshape] parse {time.time() - t0:.0f}s", flush=True)
     return data, ckpt, x, labels, nf
 
 
@@ -140,10 +114,11 @@ def test_gap_parity_full_willow_dims(drill):
         flush=True,
     )
 
-    # non-vacuity: trained model must beat chance on the sparse-label set
-    # (chance GAP@20 at ~5/3862 positives is ≈ 0.001)
-    assert tf_info["gap"] > 0.05, f"drill model did not train (GAP {tf_info['gap']})"
-    assert ff_bf16["gap"] > 0.05
+    # non-vacuity: the TPU-trained checkpoint must rank far above chance on
+    # the sparse-label set (chance GAP@20 at ~5/3862 positives is ≈ 0.001;
+    # the trainer gates export at train-GAP ≥ 0.5)
+    assert tf_info["gap"] > 0.3, f"drill model did not train (GAP {tf_info['gap']})"
+    assert ff_bf16["gap"] > 0.3
     assert d_default <= 1e-3, (tf_info["gap"], our_info["gap"])
     assert d_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
     assert d_bf16 <= 1e-3, (iid_flax["gap"], ff_bf16["gap"])

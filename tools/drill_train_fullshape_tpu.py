@@ -1,0 +1,166 @@
+"""Train the full-Willow-dimension GAP-drill checkpoint ON THE TPU.
+
+The fullshape drill (tests/integration/test_gap_parity_drill_fullshape.py)
+needs a checkpoint that has actually *trained* — a 285M-parameter
+NetVLADModelLF at F=300/K=256/V=3862 with YT-8M-sparse labels stays at
+chance GAP in the ~40 CPU steps a pytest run can afford (measured: 29 min of
+CPU training → GAP 2.5e-5).  This tool trains the same model/config on the
+real chip (thousands of steps fit in seconds of device time), gates on a
+non-vacuous train-set GAP, and exports the TF1-Saver checkpoint under
+reference variable names (core/checkpoint_import.py#export_reference_layout,
+ref lineage: train.py#build_graph variable scopes).
+
+The dataset stays DEVICE-RESIDENT (one 66 MB upload) and each step gathers
+its batch rows on-device from a host-chosen index vector — dispatching raw
+[B, 300, 1152] uint8 batches through the axon tunnel would move ~11 MB per
+step and dominate the wall clock.
+
+Usage (then run the pytest eval arms on CPU):
+
+    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill
+    LPM_FULL_SHAPE=1 LPM_DRILL_DIR=/tmp/fullshape_drill \
+        python -m pytest tests/integration/test_gap_parity_drill_fullshape.py -q -s
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", required=True, help="drill dir (data + ckpt)")
+    ap.add_argument("--max_steps", type=int, default=6000)
+    ap.add_argument("--chunk", type=int, default=500, help="steps per GAP check")
+    ap.add_argument("--gap_target", type=float, default=0.5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    print(f"[trainer] devices: {jax.devices()}", flush=True)
+
+    from tests.integration import gap_drill_common as gd
+
+    from learnablepoolingmethods_tpu import losses
+    from learnablepoolingmethods_tpu.config import TrainingConfig
+    from learnablepoolingmethods_tpu.core import checkpoint_import as ci
+    from learnablepoolingmethods_tpu.core import optimizers
+    from learnablepoolingmethods_tpu.core import step as step_lib
+    from learnablepoolingmethods_tpu.core.train_state import TrainState
+    from learnablepoolingmethods_tpu.data import pipeline, readers
+    from learnablepoolingmethods_tpu.models import create_model
+
+    dims = gd.FULLSHAPE_DIMS
+    os.makedirs(args.dir, exist_ok=True)
+    data = os.path.join(args.dir, "val0.tfrecord")
+    if not os.path.exists(data):
+        t0 = time.time()
+        gd.make_fullshape_fixture(data)
+        print(f"[trainer] fixture {time.time() - t0:.0f}s", flush=True)
+
+    # Load every video once through the real reader (identical parse to the
+    # train CLI), then pin the whole set on device.
+    reader = readers.YT8MFrameFeatureReader(
+        num_classes=dims.v,
+        feature_sizes=(dims.rgb, dims.aud),
+        feature_names=("rgb", "audio"),
+        max_frames=dims.maxf,
+    )
+    batches = pipeline.batch_iterator(
+        reader, data, dims.n_videos, num_epochs=1, shuffle=False
+    )
+    full = next(batches)
+    n = full["features"].shape[0]
+    assert n == dims.n_videos, n
+    feats = jax.device_put(full["features"])  # [N, F, D] uint8
+    labels = jax.device_put(full["labels"].astype(np.float32))  # [N, V]
+    nf = jax.device_put(full["num_frames"].astype(np.int32))  # [N]
+
+    mcfg = gd.mcfg_for(dims)
+    tcfg = TrainingConfig(
+        batch_size=dims.train_batch, base_learning_rate=dims.train_lr
+    )
+    model = create_model("NetVLADModelLF", mcfg)
+    params, bs = step_lib.init_model_variables(
+        model, {k: full[k] for k in ("features", "num_frames")},
+        frame_features=True, seed=0,
+    )
+    state = TrainState.create(params, bs, optimizers.create_optimizer(tcfg))
+    step = step_lib.make_train_step(
+        model, losses.CrossEntropyLoss(), tcfg, mcfg, frame_features=True
+    )
+
+    # device-resident arrays as jit ARGUMENTS (never closure constants —
+    # inlined constants blow the remote-compile payload, CLAUDE.md)
+    def gstep(st, feats_a, labels_a, nf_a, idx, rng):
+        batch = {
+            "features": jnp.take(feats_a, idx, axis=0),
+            "labels": jnp.take(labels_a, idx, axis=0),
+            "num_frames": jnp.take(nf_a, idx, axis=0),
+        }
+        return step(st, batch, rng)
+
+    gstep_j = jax.jit(gstep, donate_argnums=0)
+
+    ct = jnp.dtype(mcfg.compute_dtype)
+
+    def fwd(p, b, feats_a, nf_a):
+        x = step_lib.preprocess_input(feats_a, ct)
+        out = model.apply(
+            {"params": p, "batch_stats": b}, x, training=False, num_frames=nf_a
+        )
+        return out["predictions"].astype(jnp.float32)
+
+    fwd_j = jax.jit(fwd)
+
+    labels_np = np.asarray(full["labels"], np.float32)
+    rng = jax.random.key(0)
+    host_rng = np.random.default_rng(0)
+    b = dims.train_batch
+    total = 0
+    t0 = time.time()
+    while total < args.max_steps:
+        for _ in range(args.chunk):
+            idx = jnp.asarray(
+                host_rng.integers(0, n, size=(b,)).astype(np.int32)
+            )
+            state, metrics = gstep_j(state, feats, labels, nf, idx, rng)
+        total += args.chunk
+        loss = float(metrics["loss"])
+        preds = np.asarray(fwd_j(state.params, state.batch_stats, feats, nf))
+        gap = float(gd.tf_stack_metrics(dims, preds, labels_np)["gap"])
+        print(
+            f"[trainer] step {total}: loss {loss:.4f} train-GAP {gap:.4f} "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        if not np.isfinite(loss):
+            raise SystemExit(f"loss diverged at step {total}")
+        if gap >= args.gap_target:
+            break
+    if gap < args.gap_target:
+        print(
+            f"[trainer] WARNING: GAP {gap:.4f} < target {args.gap_target} "
+            f"after {total} steps — exporting anyway",
+            flush=True,
+        )
+
+    params_host = jax.device_get(state.params)
+    bs_host = jax.device_get(state.batch_stats)
+    ref_vars = ci.export_reference_layout(params_host, bs_host, dims.v)
+    ckpt = gd.save_reference_ckpt(
+        ref_vars, os.path.join(args.dir, "NetVLADModelLF.ckpt")
+    )
+    print(f"[trainer] exported {ckpt} (train-GAP {gap:.4f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()
