@@ -19,6 +19,7 @@ video_level_models.py#MoeModel.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 import tensorflow as tf
@@ -67,24 +68,62 @@ def mcfg_for(dims: DrillDims) -> ModelConfig:
 # budget a pytest run affords; measured: 40 CPU steps ≈ 29 min stayed at
 # chance) and the CPU eval drill (test_gap_parity_drill_fullshape.py).
 
-FULLSHAPE_DIMS = DrillDims(
-    n_videos=200,
-    v=3862,
-    rgb=1024,
-    aud=128,
-    maxf=300,
-    train_steps=4000,  # executed by the TPU trainer, not in-test
-    train_batch=64,
-    train_lr=0.01,
-    eval_batch=32,
-    model_flags=dict(
+# Per-model flags at full Willow/production dimensions.  NetVLADModelLF is
+# BASELINE config 4 (the 285M-param [278528, 1024] hidden FC); DbofModel is
+# config 3 at its reference defaults (dbof_cluster_size=8192); NetFVModelLF
+# at K=256 carries the zoo's LONGEST hidden-FC accumulation
+# (2·(1024·256) + 2·(128·128) = 557,056 rows) — the int8/bf16 deltas are
+# accumulation-length-dependent, which is what this drill measures.
+FULLSHAPE_MODEL_FLAGS = {
+    "NetVLADModelLF": dict(
         iterations=300,
         sample_random_frames=False,
         netvlad_cluster_size=256,  # Willow config 4 (BASELINE.json)
         netvlad_hidden_size=1024,
         moe_num_mixtures=2,
     ),
+    "DbofModel": dict(
+        iterations=300,
+        sample_random_frames=False,
+        dbof_cluster_size=8192,  # config 3 reference default
+        dbof_hidden_size=1024,
+        moe_num_mixtures=2,
+    ),
+    "NetFVModelLF": dict(
+        iterations=300,
+        sample_random_frames=False,
+        fv_cluster_size=256,  # → 557k-row hidden FC (longest in the zoo)
+        fv_hidden_size=1024,
+        moe_num_mixtures=2,
+    ),
+}
+
+FULLSHAPE_DIMS = DrillDims(
+    n_videos=200,
+    v=3862,
+    rgb=1024,
+    aud=128,
+    maxf=300,
+    # = the TPU trainer's default --max_steps (drill_train_fullshape_tpu.py
+    # derives its default from this field so the two cannot drift); the
+    # trainer early-stops on train-GAP ≥ its --gap_target.
+    train_steps=6000,
+    train_batch=64,
+    # 0.01 (the reference's CLI default) thrashes at this scale — measured
+    # 6000 steps stuck at GAP 0.03 with loss oscillating at the all-negative
+    # collapse (~70); Adam steps of ~lr against the 285M hidden FC's ~0.002
+    # init scale.  0.001 memorizes the 200-video set in <1000 steps
+    # (GAP 0.65 @ 1000; docs/drill_runs/fullshape_train_*.json).
+    train_lr=0.001,
+    eval_batch=32,
+    model_flags=FULLSHAPE_MODEL_FLAGS["NetVLADModelLF"],
 )
+
+
+def fullshape_dims_for(model_name: str) -> DrillDims:
+    return dataclasses.replace(
+        FULLSHAPE_DIMS, model_flags=FULLSHAPE_MODEL_FLAGS[model_name]
+    )
 
 # label_threshold ≈ 2.96 σ (σ = sqrt(D) ≈ 33.9) → YT-8M-like sparse labels
 # (~a few per video out of 3862); min_labels keeps every video scoreable.
@@ -106,6 +145,84 @@ def make_fullshape_fixture(data_path: str):
     )
 
     return make_learnable_synthetic_frame_level(data_path, **FULLSHAPE_FIXTURE)
+
+
+# --- drill-dir fingerprints + dated run records ----------------------------
+#
+# The drill dir outlives the source tree that built it (it is rebuilt only
+# when missing), so the trainer fingerprints the fixture spec and each
+# checkpoint's model flags into the dir; the pytest fixture refuses a stale
+# pair instead of silently evaluating the wrong spec.  Passing drill runs are
+# date-stamped into docs/drill_runs/ (commit + numbers) so "when did this
+# gated drill last pass, at which commit" is answerable from the tree.
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def fullshape_fingerprint(model_name: str) -> dict:
+    """The PARITY-semantic spec of one drill arm (what the eval arms assume
+    about the checkpoint); training knobs (lr/steps) are recorded in the
+    docs/drill_runs/ record instead — they affect how trained the
+    checkpoint is, not what graph it parameterizes."""
+    dims = fullshape_dims_for(model_name)
+    return {
+        "fixture": dict(FULLSHAPE_FIXTURE),
+        "model": model_name,
+        "model_flags": dict(dims.model_flags),
+    }
+
+
+def fingerprint_path(drill_dir: str, name: str) -> str:
+    return os.path.join(drill_dir, f"{name}.fingerprint.json")
+
+
+def write_fingerprint(drill_dir: str, name: str, payload: dict):
+    import json
+
+    with open(fingerprint_path(drill_dir, name), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+
+def check_fingerprint(drill_dir: str, name: str, expected: dict):
+    """Returns None if the recorded fingerprint matches, else a reason."""
+    import json
+
+    path = fingerprint_path(drill_dir, name)
+    if not os.path.exists(path):
+        return f"missing fingerprint {path}"
+    with open(path) as f:
+        actual = json.load(f)
+    if actual != json.loads(json.dumps(expected)):
+        return f"fingerprint mismatch at {path}: {actual} != {expected}"
+    return None
+
+
+def record_drill_run(name: str, payload: dict):
+    """Write docs/drill_runs/<name>.json with commit + UTC date + payload."""
+    import datetime
+    import json
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=REPO_ROOT,
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    out_dir = os.path.join(REPO_ROOT, "docs", "drill_runs")
+    os.makedirs(out_dir, exist_ok=True)
+    record = {
+        "date_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "commit": commit,
+        **payload,
+    }
+    path = os.path.join(out_dir, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    return path
 
 
 def train_and_export(dims: DrillDims, model_name, data_pattern, ckpt_path):
@@ -306,6 +423,68 @@ def tf_eval_dbof(dims: DrillDims, ckpt, x, nf, batch: int = 0):
         h = tf.matmul(pooled, tf.constant(r.get_tensor("hidden1_weights")))
         h = tf_bn(h, r, "hidden1_bn")
         h = tf.nn.relu6(h)
+        outs.append(tf_moe_reference(dims, h, r).numpy())
+    return np.concatenate(outs, axis=0)
+
+
+def tf_fv_block(x, r, scope, d, k):
+    """video_pooling_modules.py#NetFV: softmax(BN(X·C)) assignment, then
+    1st-order (mean-residual / covar) and 2nd-order (variance) Fisher
+    statistics, each intra+global ℓ2-normalized, concatenated [fv1 ‖ fv2].
+    Dimension-parameterized twin of test_gap_parity_drill_more.py's toy
+    transcription (which is single-modality by construction)."""
+    f = x.shape[1]
+    cw2 = tf.constant(r.get_tensor(f"{scope}/cluster_weights2"))
+    covar = tf.square(tf.constant(r.get_tensor(f"{scope}/covar_weights"))) + 1e-6
+    acts = tf.matmul(
+        tf.reshape(x, [-1, d]), tf.constant(r.get_tensor(f"{scope}/cluster_weights"))
+    )
+    acts = tf_bn(acts, r, f"{scope}/cluster_bn")
+    activation = tf.reshape(tf.nn.softmax(acts), [-1, f, k])
+    a_sum = tf.reduce_sum(activation, -2, keepdims=True)
+    a = tf.multiply(a_sum, cw2)
+    activation_t = tf.transpose(activation, perm=[0, 2, 1])
+    xb = tf.reshape(x, [-1, f, d])
+    fv1 = tf.transpose(tf.matmul(activation_t, xb), perm=[0, 2, 1])
+    a2 = tf.multiply(a_sum, tf.square(cw2))
+    b2 = tf.multiply(fv1, cw2)
+    fv2 = tf.transpose(tf.matmul(activation_t, tf.square(xb)), perm=[0, 2, 1])
+    fv2 = a2 + fv2 - 2 * b2
+    fv2 = tf.divide(fv2, tf.square(covar))
+    fv2 = tf.subtract(fv2, a_sum)
+    fv2 = tf.nn.l2_normalize(fv2, 1)
+    fv2 = tf.reshape(fv2, [-1, k * d])
+    fv2 = tf.nn.l2_normalize(fv2, 1)
+    fv1 = tf.subtract(fv1, a)
+    fv1 = tf.divide(fv1, covar)
+    fv1 = tf.nn.l2_normalize(fv1, 1)
+    fv1 = tf.reshape(fv1, [-1, k * d])
+    fv1 = tf.nn.l2_normalize(fv1, 1)
+    return tf.concat([fv1, fv2], 1)
+
+
+def tf_eval_netfv(dims: DrillDims, ckpt, x, nf, batch: int = 0):
+    """frame_level_models.py#NetFVModelLF full graph, reference names —
+    per-modality NetFV (audio clusters = rgb/2), shared gated-MoE tail."""
+    r = tf.train.load_checkpoint(ckpt)
+    k = dims.model_flags["fv_cluster_size"]
+    frames_all = tf_preprocess_and_sample(dims, x, nf)
+    n = frames_all.shape[0]
+    batch = batch or n
+    outs = []
+    for s in range(0, n, batch):
+        frames = tf_bn(frames_all[s : s + batch], r, "input_bn")
+        fv_rgb = tf_fv_block(frames[:, :, : dims.rgb], r, "video_FV", dims.rgb, k)
+        fv_aud = tf_fv_block(
+            frames[:, :, dims.rgb :], r, "audio_FV", dims.aud, k // 2
+        )
+        pooled = tf.concat([fv_rgb, fv_aud], axis=1)
+        h = tf.matmul(
+            pooled, tf.constant(r.get_tensor("hidden1_weights"))
+        ) + tf.constant(r.get_tensor("hidden1_biases"))
+        gates = tf.matmul(h, tf.constant(r.get_tensor("gating_weights")))
+        gates = tf_bn(gates, r, "gating_bn")
+        h = h * tf.nn.sigmoid(gates)
         outs.append(tf_moe_reference(dims, h, r).numpy())
     return np.concatenate(outs, axis=0)
 

@@ -7,7 +7,14 @@ hidden=1024, V=3862, where the 285M-parameter hidden FC accumulates ~2000×
 longer dot products and the bf16/int8 deltas are accumulation-length-
 dependent (round-3 VERDICT "missing #2").
 
-Four measured deltas (each budget ≤ 1e-3):
+Three model arms (gap_drill_common.FULLSHAPE_MODEL_FLAGS):
+
+- NetVLADModelLF — BASELINE config 4 (Willow), the flagship 285M model;
+- DbofModel — BASELINE config 3 at its reference defaults (cluster 8192);
+- NetFVModelLF at K=256 — the zoo's LONGEST hidden-FC accumulation
+  (557,056 rows), pinning the int8 gate at its worst case.
+
+Measured deltas per model (each budget ≤ 1e-3):
 
 1. Δ_default  = |GAP_tf − GAP_ours(default)|       — exact-math parity,
    deterministic window sampling, directly vs the TF full-graph
@@ -21,19 +28,24 @@ Four measured deltas (each budget ≤ 1e-3):
    draw), so this isolates EXACTLY the bf16 numerics of the fused path at
    full accumulation length;
 4. Δ_int8 = |GAP_fused_bf16 − GAP_fused(--int8_hidden)| (identical keys) —
-   the int8 hidden-FC quantization error at the real [278528, 1024] shape.
+   the int8 hidden-FC quantization error at the real accumulation length
+   (NetVLAD [278528, 1024]; NetFV [557056, 1024]).
 
-Two-stage run (the 285M-param model cannot be trained to a non-vacuous GAP
+Two-stage run (a 285M-param model cannot be trained to a non-vacuous GAP
 in a CPU pytest budget — measured: 40 CPU steps ≈ 29 min stayed at chance
-GAP 2.5e-5 — so the checkpoint is trained ONCE on the real chip and the
+GAP 2.5e-5 — so each checkpoint is trained ONCE on the real chip and the
 eval arms, which are the thing under test, run CPU-only as usual):
 
-    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill
+    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill \
+        --model <NetVLADModelLF|DbofModel|NetFVModelLF>
     LPM_FULL_SHAPE=1 LPM_DRILL_DIR=/tmp/fullshape_drill \
         python -m pytest tests/integration/test_gap_parity_drill_fullshape.py -q -s
 
-Measured results are recorded in BASELINE.md ("full Willow dimensions"
-rows).
+Model arms whose checkpoint is absent from LPM_DRILL_DIR skip individually;
+stale fingerprints (fixture spec or model flags changed since training)
+skip with the reason rather than evaluating the wrong spec.  Measured
+results are recorded in BASELINE.md ("full Willow dimensions" rows) and
+date-stamped per run in docs/drill_runs/.
 """
 
 import os
@@ -48,40 +60,61 @@ pytestmark = pytest.mark.skipif(
     reason="full-Willow-dimension drill (tens of minutes); set LPM_FULL_SHAPE=1",
 )
 
-DIMS = gd.FULLSHAPE_DIMS
+
+def _drill_paths(model_name):
+    """Locate + fingerprint-validate one model's drill artifacts."""
+    root = os.environ.get("LPM_DRILL_DIR", "")
+    data = os.path.join(root, "val0.tfrecord")
+    ckpt = os.path.join(root, f"{model_name}.ckpt")
+    if not (root and os.path.exists(data) and os.path.exists(ckpt + ".index")):
+        pytest.skip(
+            f"prebuilt drill dir required: run `python "
+            f"tools/drill_train_fullshape_tpu.py --dir <dir> --model "
+            f"{model_name}` on the TPU and set LPM_DRILL_DIR=<dir>"
+        )
+    stale = gd.check_fingerprint(root, "fixture", gd.FULLSHAPE_FIXTURE)
+    if stale:
+        pytest.skip(f"stale drill dir (re-run the trainer): {stale}")
+    stale = gd.check_fingerprint(
+        root, model_name, gd.fullshape_fingerprint(model_name)
+    )
+    if stale:
+        pytest.skip(f"stale {model_name} checkpoint (re-run the trainer): {stale}")
+    return data, ckpt
 
 
 @pytest.fixture(scope="module")
-def drill():
+def parsed():
+    """The TF-stack parse of the shared fixture (model-independent)."""
     root = os.environ.get("LPM_DRILL_DIR", "")
     data = os.path.join(root, "val0.tfrecord")
-    ckpt = os.path.join(root, "NetVLADModelLF.ckpt")
-    if not (root and os.path.exists(data) and os.path.exists(ckpt + ".index")):
-        pytest.skip(
-            "prebuilt drill dir required: run "
-            "`python tools/drill_train_fullshape_tpu.py --dir <dir>` on the "
-            "TPU and set LPM_DRILL_DIR=<dir>"
-        )
+    if not (root and os.path.exists(data)):
+        pytest.skip("prebuilt drill dir required (see module docstring)")
+    dims = gd.FULLSHAPE_DIMS
     t0 = time.time()
-    x, labels, nf = gd.tf_parse_dataset(DIMS, data)
-    assert x.shape == (DIMS.n_videos, DIMS.maxf, DIMS.d)
+    x, labels, nf = gd.tf_parse_dataset(dims, data)
+    assert x.shape == (dims.n_videos, dims.maxf, dims.d)
     print(f"\n[fullshape] parse {time.time() - t0:.0f}s", flush=True)
-    return data, ckpt, x, labels, nf
+    return x, labels, nf
 
 
-def test_gap_parity_full_willow_dims(drill):
-    data, ckpt, x, labels, nf = drill
-    model_name = "NetVLADModelLF"
-
-    t0 = time.time()
-    tf_preds = gd.tf_eval_netvlad(DIMS, ckpt, x, nf, batch=64)
-    tf_info = gd.tf_stack_metrics(DIMS, tf_preds, labels)
-    print(f"[fullshape] TF stack {time.time() - t0:.0f}s", flush=True)
+def _run_model_arms(model_name, tf_eval_fn, parsed, *, int8_arm):
+    dims = gd.fullshape_dims_for(model_name)
+    data, ckpt = _drill_paths(model_name)
+    x, labels, nf = parsed
 
     t0 = time.time()
-    our_info = gd.our_stack_metrics(DIMS, data, ckpt, model_name, False)
-    fast_info = gd.our_stack_metrics(DIMS, data, ckpt, model_name, True)
-    print(f"[fullshape] our default+fast_eval {time.time() - t0:.0f}s", flush=True)
+    tf_preds = tf_eval_fn(dims, ckpt, x, nf, batch=64)
+    tf_info = gd.tf_stack_metrics(dims, tf_preds, labels)
+    print(f"[fullshape:{model_name}] TF stack {time.time() - t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    our_info = gd.our_stack_metrics(dims, data, ckpt, model_name, False)
+    fast_info = gd.our_stack_metrics(dims, data, ckpt, model_name, True)
+    print(
+        f"[fullshape:{model_name}] our default+fast_eval {time.time() - t0:.0f}s",
+        flush=True,
+    )
 
     d_default = abs(tf_info["gap"] - our_info["gap"])
     d_fast = abs(tf_info["gap"] - fast_info["gap"])
@@ -89,28 +122,39 @@ def test_gap_parity_full_willow_dims(drill):
     # Arms 3/4: iid sampling, identical per-batch keys across runs.
     t0 = time.time()
     iid_flax = gd.our_stack_metrics(
-        DIMS, data, ckpt, model_name, False, sample_random_frames=True
+        dims, data, ckpt, model_name, False, sample_random_frames=True
     )
     ff_bf16 = gd.our_stack_metrics(
-        DIMS, data, ckpt, model_name, False,
+        dims, data, ckpt, model_name, False,
         fast_forward=True, sample_random_frames=True,
     )
-    ff_i8 = gd.our_stack_metrics(
-        DIMS, data, ckpt, model_name, False,
-        fast_forward=True, int8_hidden=True, sample_random_frames=True,
-    )
-    print(f"[fullshape] iid flax+fused+int8 {time.time() - t0:.0f}s", flush=True)
-
     d_bf16 = abs(iid_flax["gap"] - ff_bf16["gap"])
-    d_int8 = abs(ff_bf16["gap"] - ff_i8["gap"])
+    deltas = {
+        "gap_tf": tf_info["gap"],
+        "delta_default": d_default,
+        "delta_fast_eval": d_fast,
+        "delta_bf16_fused": d_bf16,
+    }
+    d_int8 = None
+    if int8_arm:
+        ff_i8 = gd.our_stack_metrics(
+            dims, data, ckpt, model_name, False,
+            fast_forward=True, int8_hidden=True, sample_random_frames=True,
+        )
+        d_int8 = abs(ff_bf16["gap"] - ff_i8["gap"])
+        deltas["delta_int8"] = d_int8
+    print(
+        f"[fullshape:{model_name}] iid flax+fused {time.time() - t0:.0f}s",
+        flush=True,
+    )
 
     print(
-        f"[fullshape] GAP: TF={tf_info['gap']:.6f} "
+        f"[fullshape:{model_name}] GAP: TF={tf_info['gap']:.6f} "
         f"default={our_info['gap']:.6f} (Δ={d_default:.2e}) "
         f"fast_eval={fast_info['gap']:.6f} (Δ={d_fast:.2e})\n"
-        f"[fullshape] iid: flax={iid_flax['gap']:.6f} "
-        f"fused_bf16={ff_bf16['gap']:.6f} (Δ_bf16={d_bf16:.2e}) "
-        f"int8={ff_i8['gap']:.6f} (Δ_int8={d_int8:.2e})",
+        f"[fullshape:{model_name}] iid: flax={iid_flax['gap']:.6f} "
+        f"fused_bf16={ff_bf16['gap']:.6f} (Δ_bf16={d_bf16:.2e})"
+        + (f" Δ_int8={d_int8:.2e}" if d_int8 is not None else ""),
         flush=True,
     )
 
@@ -122,6 +166,20 @@ def test_gap_parity_full_willow_dims(drill):
     assert d_default <= 1e-3, (tf_info["gap"], our_info["gap"])
     assert d_fast <= 1e-3, (tf_info["gap"], fast_info["gap"])
     assert d_bf16 <= 1e-3, (iid_flax["gap"], ff_bf16["gap"])
-    assert d_int8 <= 1e-3, (ff_bf16["gap"], ff_i8["gap"])
+    if d_int8 is not None:
+        assert d_int8 <= 1e-3, (ff_bf16["gap"], ff_i8["gap"])
     assert abs(tf_info["avg_hit_at_one"] - our_info["avg_hit_at_one"]) <= 1e-3
     assert abs(tf_info["avg_perr"] - our_info["avg_perr"]) <= 1e-3
+    gd.record_drill_run(f"fullshape_eval_{model_name}", deltas)
+
+
+def test_gap_parity_full_willow_dims(parsed):
+    _run_model_arms("NetVLADModelLF", gd.tf_eval_netvlad, parsed, int8_arm=True)
+
+
+def test_gap_parity_full_willow_dims_dbof(parsed):
+    _run_model_arms("DbofModel", gd.tf_eval_dbof, parsed, int8_arm=False)
+
+
+def test_gap_parity_full_willow_dims_netfv(parsed):
+    _run_model_arms("NetFVModelLF", gd.tf_eval_netfv, parsed, int8_arm=True)

@@ -1,14 +1,20 @@
-"""Train the full-Willow-dimension GAP-drill checkpoint ON THE TPU.
+"""Train the full-Willow-dimension GAP-drill checkpoints ON THE TPU.
 
 The fullshape drill (tests/integration/test_gap_parity_drill_fullshape.py)
-needs a checkpoint that has actually *trained* — a 285M-parameter
+needs checkpoints that have actually *trained* — e.g. the 285M-parameter
 NetVLADModelLF at F=300/K=256/V=3862 with YT-8M-sparse labels stays at
 chance GAP in the ~40 CPU steps a pytest run can afford (measured: 29 min of
-CPU training → GAP 2.5e-5).  This tool trains the same model/config on the
+CPU training → GAP 2.5e-5).  This tool trains the drill model/config on the
 real chip (thousands of steps fit in seconds of device time), gates on a
 non-vacuous train-set GAP, and exports the TF1-Saver checkpoint under
 reference variable names (core/checkpoint_import.py#export_reference_layout,
 ref lineage: train.py#build_graph variable scopes).
+
+``--model`` selects the drill arm (NetVLADModelLF / DbofModel /
+NetFVModelLF — gap_drill_common.FULLSHAPE_MODEL_FLAGS); all arms share one
+fixture file.  The fixture spec and each checkpoint's model flags are
+fingerprinted into the drill dir so a stale data+checkpoint pair is
+rebuilt/refused rather than silently evaluated against the wrong spec.
 
 The dataset stays DEVICE-RESIDENT (one 66 MB upload) and each step gathers
 its batch rows on-device from a host-chosen index vector — dispatching raw
@@ -17,7 +23,8 @@ step and dominate the wall clock.
 
 Usage (then run the pytest eval arms on CPU):
 
-    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill
+    python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill \
+        [--model NetVLADModelLF]
     LPM_FULL_SHAPE=1 LPM_DRILL_DIR=/tmp/fullshape_drill \
         python -m pytest tests/integration/test_gap_parity_drill_fullshape.py -q -s
 """
@@ -37,9 +44,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", required=True, help="drill dir (data + ckpt)")
-    ap.add_argument("--max_steps", type=int, default=6000)
+    ap.add_argument(
+        "--model", default="NetVLADModelLF",
+        help="drill model (key of gap_drill_common.FULLSHAPE_MODEL_FLAGS)",
+    )
+    ap.add_argument(
+        "--max_steps", type=int, default=None,
+        help="default: FULLSHAPE_DIMS.train_steps",
+    )
     ap.add_argument("--chunk", type=int, default=500, help="steps per GAP check")
     ap.add_argument("--gap_target", type=float, default=0.5)
+    ap.add_argument(
+        "--lr", type=float, default=None,
+        help="default: FULLSHAPE_DIMS.train_lr (lr only affects how trained "
+        "the checkpoint gets, not the parity semantics; the lr actually used "
+        "is recorded in the docs/drill_runs/ record)",
+    )
+    ap.add_argument(
+        "--export_anyway", action="store_true",
+        help="export + exit 0 even if the GAP target is missed (the CPU eval "
+        "stage would fail its non-vacuity asserts; default is to refuse)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -58,12 +83,30 @@ def main():
     from learnablepoolingmethods_tpu.data import pipeline, readers
     from learnablepoolingmethods_tpu.models import create_model
 
-    dims = gd.FULLSHAPE_DIMS
+    if args.model not in gd.FULLSHAPE_MODEL_FLAGS:
+        ap.error(
+            f"--model must be one of {sorted(gd.FULLSHAPE_MODEL_FLAGS)}, "
+            f"got {args.model!r}"
+        )
+    dims = gd.fullshape_dims_for(args.model)
+    if args.max_steps is None:
+        args.max_steps = dims.train_steps
+    if args.chunk < 1 or args.max_steps < args.chunk:
+        ap.error(
+            f"need max_steps >= chunk >= 1, got max_steps={args.max_steps} "
+            f"chunk={args.chunk}"
+        )
+
     os.makedirs(args.dir, exist_ok=True)
     data = os.path.join(args.dir, "val0.tfrecord")
+    fixture_stale = gd.check_fingerprint(args.dir, "fixture", gd.FULLSHAPE_FIXTURE)
+    if os.path.exists(data) and fixture_stale:
+        print(f"[trainer] rebuilding fixture: {fixture_stale}", flush=True)
+        os.remove(data)
     if not os.path.exists(data):
         t0 = time.time()
         gd.make_fullshape_fixture(data)
+        gd.write_fingerprint(args.dir, "fixture", gd.FULLSHAPE_FIXTURE)
         print(f"[trainer] fixture {time.time() - t0:.0f}s", flush=True)
 
     # Load every video once through the real reader (identical parse to the
@@ -84,11 +127,10 @@ def main():
     labels = jax.device_put(full["labels"].astype(np.float32))  # [N, V]
     nf = jax.device_put(full["num_frames"].astype(np.int32))  # [N]
 
+    lr = dims.train_lr if args.lr is None else args.lr
     mcfg = gd.mcfg_for(dims)
-    tcfg = TrainingConfig(
-        batch_size=dims.train_batch, base_learning_rate=dims.train_lr
-    )
-    model = create_model("NetVLADModelLF", mcfg)
+    tcfg = TrainingConfig(batch_size=dims.train_batch, base_learning_rate=lr)
+    model = create_model(args.model, mcfg)
     params, bs = step_lib.init_model_variables(
         model, {k: full[k] for k in ("features", "num_frames")},
         frame_features=True, seed=0,
@@ -146,20 +188,36 @@ def main():
             raise SystemExit(f"loss diverged at step {total}")
         if gap >= args.gap_target:
             break
-    if gap < args.gap_target:
-        print(
-            f"[trainer] WARNING: GAP {gap:.4f} < target {args.gap_target} "
-            f"after {total} steps — exporting anyway",
-            flush=True,
+    if gap < args.gap_target and not args.export_anyway:
+        raise SystemExit(
+            f"[trainer] GAP {gap:.4f} < target {args.gap_target} after "
+            f"{total} steps — refusing to export (the CPU eval stage's "
+            f"non-vacuity asserts would fail after ~35 min; pass "
+            f"--export_anyway to override, or raise --max_steps / tune lr)"
         )
 
     params_host = jax.device_get(state.params)
     bs_host = jax.device_get(state.batch_stats)
     ref_vars = ci.export_reference_layout(params_host, bs_host, dims.v)
     ckpt = gd.save_reference_ckpt(
-        ref_vars, os.path.join(args.dir, "NetVLADModelLF.ckpt")
+        ref_vars, os.path.join(args.dir, f"{args.model}.ckpt")
     )
-    print(f"[trainer] exported {ckpt} (train-GAP {gap:.4f})", flush=True)
+    gd.write_fingerprint(args.dir, args.model, gd.fullshape_fingerprint(args.model))
+    record = gd.record_drill_run(
+        f"fullshape_train_{args.model}",
+        {
+            "train_gap": gap,
+            "steps": total,
+            "lr": lr,
+            "final_loss": loss,
+            "seconds": round(time.time() - t0, 1),
+            "gap_target": args.gap_target,
+        },
+    )
+    print(
+        f"[trainer] exported {ckpt} (train-GAP {gap:.4f}); recorded {record}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
