@@ -197,6 +197,14 @@ def check_fingerprint(drill_dir: str, name: str, expected: dict):
     return None
 
 
+def _jsonable(obj):
+    """numpy scalars (np.float32 deltas etc.) are not JSON serializable —
+    coerce them via .item(); everything else falls through to json's error."""
+    if hasattr(obj, "item"):
+        return obj.item()
+    raise TypeError(f"not JSON serializable: {type(obj).__name__}")
+
+
 def record_drill_run(name: str, payload: dict):
     """Write docs/drill_runs/<name>.json with commit + UTC date + payload."""
     import datetime
@@ -220,8 +228,10 @@ def record_drill_run(name: str, payload: dict):
         **payload,
     }
     path = os.path.join(out_dir, f"{name}.json")
-    with open(path, "w") as f:
-        json.dump(record, f, indent=1, sort_keys=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True, default=_jsonable)
+    os.replace(tmp, path)  # never leave a truncated record behind
     return path
 
 
@@ -725,15 +735,25 @@ class TfReferenceTrainer:
 
 
 def save_reference_ckpt(ref_vars, ckpt_path):
-    """Write a {name: array} dict as a TF1-Saver checkpoint."""
+    """Write a {name: array} dict as a TF1-Saver checkpoint.
+
+    Values are fed through placeholders rather than embedded as graph
+    constants — ``tf1.Variable(initial_value=<ndarray>)`` serializes the
+    array into the GraphDef, which caps at 2 GB per tensor proto and the
+    fullshape NetFVModelLF hidden FC is [557056, 1024] f32 = 2.28 GB.
+    Session feeds use the C-API tensor path, which has no such limit."""
     tf1 = tf.compat.v1
     g = tf.Graph()
+    feeds = {}
     with g.as_default():
         for name, val in ref_vars.items():
-            tf1.Variable(initial_value=val, name=name)
+            val = np.asarray(val)
+            ph = tf1.placeholder(val.dtype, val.shape)
+            tf1.Variable(initial_value=ph, name=name)
+            feeds[ph] = val
         saver = tf1.train.Saver()
         with tf1.Session() as sess:
-            sess.run(tf1.global_variables_initializer())
+            sess.run(tf1.global_variables_initializer(), feed_dict=feeds)
             saver.save(sess, ckpt_path, write_meta_graph=False)
     return ckpt_path
 

@@ -31,7 +31,8 @@ makes TRAINING parity one measured number too.  Protocol:
 Deterministic-window sampling (iterations == max_frames, no random frames)
 keeps the two stacks on identical frame inputs; dropout-free model.
 
-Measured result recorded in BASELINE.md ("training-parity drill" row).
+Measured result recorded in BASELINE.md ("Training-semantics two-stack
+parity drill" rows).
 """
 
 import os

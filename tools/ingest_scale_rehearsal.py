@@ -154,6 +154,36 @@ def iterate_grain(pattern: str, max_frames: int, batch: int = 256):
     return {"grain_videos_per_s": n / dt, "grain_videos": n}
 
 
+def record_run(name: str, payload: dict) -> str:
+    """Dated, commit-stamped docs/drill_runs/ record (same schema as
+    tests/integration/gap_drill_common.record_drill_run — duplicated here so
+    the data-layer-only rehearsal never imports the TF-heavy test module)."""
+    import datetime
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO,
+        capture_output=True, text=True, timeout=30,
+    ).stdout.strip()
+    out_dir = os.path.join(REPO, "docs", "drill_runs")
+    os.makedirs(out_dir, exist_ok=True)
+    record = {
+        "date_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "commit": commit,
+        **payload,
+    }
+    path = os.path.join(out_dir, f"{name}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            record, f, indent=1, sort_keys=True,
+            default=lambda o: o.item(),  # numpy scalars
+        )
+    os.replace(tmp, path)
+    return path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_videos", type=int, default=50_000)
@@ -163,6 +193,10 @@ def main():
     ap.add_argument("--num_workers", type=int, default=2)
     ap.add_argument("--skip_grain", action="store_true")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--record", action="store_true",
+        help="write the results as a dated docs/drill_runs/ record",
+    )
     args = ap.parse_args()
 
     data_dir = os.path.join(args.out_dir, "data")
@@ -203,6 +237,9 @@ def main():
     finally:
         if not args.keep:
             shutil.rmtree(args.out_dir, ignore_errors=True)
+    if args.record:
+        print(f"[record] {record_run('ingest_scale_rehearsal', results)}",
+              flush=True)
     print(json.dumps(results))
 
 
