@@ -96,6 +96,17 @@ FULLSHAPE_MODEL_FLAGS = {
         fv_hidden_size=1024,
         moe_num_mixtures=2,
     ),
+    # Same 278,528-row hidden FC as NetVLAD but through the residual-less
+    # aggregation; NetRVLAD-256 is the zoo's biggest int8 serving win
+    # (+74% @ B=256 sampled, BASELINE.md), so its int8 gate is pinned at
+    # the production accumulation length too.
+    "NetRVLADModelLF": dict(
+        iterations=300,
+        sample_random_frames=False,
+        rvlad_cluster_size=256,
+        netvlad_hidden_size=1024,  # shared LF hidden flag (models/frame_level.py#NetRVLADModelLF._hidden_size)
+        moe_num_mixtures=2,
+    ),
 }
 
 FULLSHAPE_DIMS = DrillDims(
@@ -399,6 +410,54 @@ def tf_eval_netvlad(dims: DrillDims, ckpt, x, nf, batch: int = 0):
         )
         v_aud = tf_netvlad_block(
             frames[:, :, dims.rgb :], r, "audio_VLAD", dims.aud, k // 2
+        )
+        pooled = tf.concat([v_rgb, v_aud], axis=1)
+        h = tf.matmul(
+            pooled, tf.constant(r.get_tensor("hidden1_weights"))
+        ) + tf.constant(r.get_tensor("hidden1_biases"))
+        gates = tf.matmul(h, tf.constant(r.get_tensor("gating_weights")))
+        gates = tf_bn(gates, r, "gating_bn")
+        h = h * tf.nn.sigmoid(gates)
+        outs.append(tf_moe_reference(dims, h, r).numpy())
+    return np.concatenate(outs, axis=0)
+
+
+def tf_rvlad_block(x, r, scope, d, k):
+    """video_pooling_modules.py#NetRVLAD: NetVLAD's BN'd softmax assignment
+    and Aᵀ·X aggregation WITHOUT the cluster_weights2 center subtraction
+    ("residual-less"); intra- then global ℓ2 normalization.  Dimension-
+    parameterized twin of test_gap_parity_drill_more.py's toy transcription
+    (single-modality by construction)."""
+    f = x.shape[1]
+    acts = tf.matmul(
+        tf.reshape(x, [-1, d]), tf.constant(r.get_tensor(f"{scope}/cluster_weights"))
+    )
+    acts = tf_bn(acts, r, f"{scope}/cluster_bn")
+    acts = tf.nn.softmax(acts)
+    acts = tf.reshape(acts, [-1, f, k])
+    vlad = tf.matmul(tf.transpose(acts, [0, 2, 1]), tf.reshape(x, [-1, f, d]))
+    vlad = tf.transpose(vlad, [0, 2, 1])
+    vlad = tf.nn.l2_normalize(vlad, 1)
+    vlad = tf.reshape(vlad, [-1, k * d])
+    return tf.nn.l2_normalize(vlad, 1)
+
+
+def tf_eval_netrvlad(dims: DrillDims, ckpt, x, nf, batch: int = 0):
+    """frame_level_models.py#NetRVLADModelLF full graph, reference names —
+    per-modality NetRVLAD (audio clusters = rgb/2), shared gated-MoE tail."""
+    r = tf.train.load_checkpoint(ckpt)
+    k = dims.model_flags["rvlad_cluster_size"]
+    frames_all = tf_preprocess_and_sample(dims, x, nf)
+    n = frames_all.shape[0]
+    batch = batch or n
+    outs = []
+    for s in range(0, n, batch):
+        frames = tf_bn(frames_all[s : s + batch], r, "input_bn")
+        v_rgb = tf_rvlad_block(
+            frames[:, :, : dims.rgb], r, "video_RVLAD", dims.rgb, k
+        )
+        v_aud = tf_rvlad_block(
+            frames[:, :, dims.rgb :], r, "audio_RVLAD", dims.aud, k // 2
         )
         pooled = tf.concat([v_rgb, v_aud], axis=1)
         h = tf.matmul(

@@ -7,12 +7,15 @@ hidden=1024, V=3862, where the 285M-parameter hidden FC accumulates ~2000×
 longer dot products and the bf16/int8 deltas are accumulation-length-
 dependent (round-3 VERDICT "missing #2").
 
-Three model arms (gap_drill_common.FULLSHAPE_MODEL_FLAGS):
+Four model arms (gap_drill_common.FULLSHAPE_MODEL_FLAGS):
 
 - NetVLADModelLF — BASELINE config 4 (Willow), the flagship 285M model;
 - DbofModel — BASELINE config 3 at its reference defaults (cluster 8192);
 - NetFVModelLF at K=256 — the zoo's LONGEST hidden-FC accumulation
-  (557,056 rows), pinning the int8 gate at its worst case.
+  (557,056 rows), pinning the int8 gate at its worst case;
+- NetRVLADModelLF at K=256 — the residual-less aggregation with the same
+  278,528-row FC; the zoo's biggest int8 serving win (+74% @ B=256
+  sampled), so its int8 gate is pinned at production shape too.
 
 Measured deltas per model (each budget ≤ 1e-3):
 
@@ -37,7 +40,7 @@ GAP 2.5e-5 — so each checkpoint is trained ONCE on the real chip and the
 eval arms, which are the thing under test, run CPU-only as usual):
 
     python tools/drill_train_fullshape_tpu.py --dir /tmp/fullshape_drill \
-        --model <NetVLADModelLF|DbofModel|NetFVModelLF>
+        --model <NetVLADModelLF|DbofModel|NetFVModelLF|NetRVLADModelLF>
     LPM_FULL_SHAPE=1 LPM_DRILL_DIR=/tmp/fullshape_drill \
         python -m pytest tests/integration/test_gap_parity_drill_fullshape.py -q -s
 
@@ -183,3 +186,7 @@ def test_gap_parity_full_willow_dims_dbof(parsed):
 
 def test_gap_parity_full_willow_dims_netfv(parsed):
     _run_model_arms("NetFVModelLF", gd.tf_eval_netfv, parsed, int8_arm=True)
+
+
+def test_gap_parity_full_willow_dims_netrvlad(parsed):
+    _run_model_arms("NetRVLADModelLF", gd.tf_eval_netrvlad, parsed, int8_arm=True)

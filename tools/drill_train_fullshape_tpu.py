@@ -11,7 +11,8 @@ reference variable names (core/checkpoint_import.py#export_reference_layout,
 ref lineage: train.py#build_graph variable scopes).
 
 ``--model`` selects the drill arm (NetVLADModelLF / DbofModel /
-NetFVModelLF — gap_drill_common.FULLSHAPE_MODEL_FLAGS); all arms share one
+NetFVModelLF / NetRVLADModelLF — gap_drill_common.FULLSHAPE_MODEL_FLAGS);
+all arms share one
 fixture file.  The fixture spec and each checkpoint's model flags are
 fingerprinted into the drill dir so a stale data+checkpoint pair is
 rebuilt/refused rather than silently evaluated against the wrong spec.
